@@ -1,0 +1,76 @@
+from pyspark.sql import functions as F
+
+from post_processor_spark import canon
+
+
+def _eval(spark, col, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(col(F.col("url"))).collect()]
+
+
+def test_host(spark):
+    urls = [
+        "https://www.Aljazeera.com/somelink",
+        "http://user:pw@EXAMPLE.org:8080/a?b=c#frag",
+        "https://news.bbc.co.uk/x",
+        "no-scheme-path",
+        "https://twitter.com/a_zionist/status/4",
+    ]
+    assert _eval(spark, canon.url_host, urls) == [
+        "www.aljazeera.com",
+        "example.org",
+        "news.bbc.co.uk",
+        "",
+        "twitter.com",
+    ]
+
+
+def test_registrable_domain(spark):
+    df = spark.createDataFrame(
+        [("www.aljazeera.com",), ("news.bbc.co.uk",), ("bbc.co.uk",), ("com",), ("a.b.c.example.org",)],
+        "h string",
+    )
+    got = [r[0] for r in df.select(canon.registrable_domain(F.col("h"))).collect()]
+    assert got == ["aljazeera.com", "bbc.co.uk", "bbc.co.uk", "com", "example.org"]
+
+
+def test_tld_parts_equality_matches_reference_skip(spark):
+    # self-citation skip compares full tldextract triples
+    # (processor_domain.py:43-45): www.aljazeera.com == www.aljazeera.com,
+    # but aljazeera.com != www.aljazeera.com
+    df = spark.createDataFrame(
+        [("https://www.aljazeera.com/", "https://www.aljazeera.com/x")],
+        "a string, b string",
+    )
+    row = df.select(
+        (canon.tld_parts(F.col("a")) == canon.tld_parts(F.col("b"))).alias("eq")
+    ).collect()[0]
+    assert row["eq"] is True
+    df2 = spark.createDataFrame(
+        [("https://aljazeera.com/", "https://www.aljazeera.com/")], "a string, b string"
+    )
+    assert (
+        df2.select((canon.tld_parts(F.col("a")) == canon.tld_parts(F.col("b"))).alias("eq"))
+        .collect()[0]["eq"]
+        is False
+    )
+
+
+def test_canonical_url(spark):
+    urls = [
+        "HTTPS://WWW.Example.COM:443/Path?Q=1#frag",
+        "https://example.com/a?",
+        "  https://example.com/b  ",
+    ]
+    got = _eval(spark, canon.canonical_url, urls)
+    # scheme+host lowered, fragment gone, trailing '?' stripped, path case kept
+    assert got[0].startswith("https://www.example.com")
+    assert "#" not in got[0] and "/Path?Q=1" in got[0]
+    assert got[1] == "https://example.com/a"
+    assert got[2] == "https://example.com/b"
+
+
+def test_url_hash_deterministic(spark):
+    df = spark.createDataFrame([("https://x.com/a",), ("https://x.com/a",)], "u string")
+    vals = [r[0] for r in df.select(canon.url_hash(F.col("u"))).collect()]
+    assert vals[0] == vals[1]
