@@ -1,0 +1,118 @@
+"""Benchmark entry point (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline metric = frontier URLs scheduled/sec (the authoritative metric
+from BASELINE.json): a full frontier scheduling pass — span-explode →
+canonicalize → in-batch dedupe → bloom+exact seen filter → salted
+two-phase per-host politeness top-B — over a synthetic seed set, forced
+with a noop sink.
+
+Per-query seconds for the operator suite are reported in "queries".
+Scaling run (local[8] vs local[32]) lives in scripts_spark/scaling_bench.py
+→ BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "q_pricing_summary",
+    "q_filter_revenue",
+    "q_revenue_by_nation",
+    "q_semi_join",
+    "q_topk_per_group",
+    "q_sessionize",
+    "q_json_extract",
+    "q_wordcount",
+    "q_referral_edges",
+    "q_dedup_exact",
+    "q_token_stats",
+    "q_lang_id",
+    "q_ann_cosine",
+    "q_minhash_candidates",
+    "q_simhash",
+    "q_media_features",
+    "q_span_extract",
+    "q_frontier_schedule",
+    "q_seen_filter",
+]
+
+FRONTIER_N_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "500000"))
+
+
+def _force(df) -> int:
+    """Force full computation without driver collection."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
+    """Scheduled URLs/sec for one full scheduling pass at n_urls seeds."""
+    from pyspark.sql import functions as F
+
+    from post_processor_spark import fixtures, frontier, seen as seen_mod
+
+    seeds = fixtures.synthetic_seed_frontier(
+        spark, n_urls, n_hosts=max(200, n_urls // 500), mega_host_share=0.3, seed=99
+    )
+    t0 = time.time()
+    pending = frontier.seeds_to_frontier(seeds)
+    # seen set: 20% of the hash space pre-seen
+    seen_tbl = pending.filter(F.col("seq") % 5 == 0).select(
+        "url_hash", "host_hash", F.lit(0).alias("generation")
+    )
+    unseen = seen_mod.filter_unseen(pending, seen_tbl, use_bloom=True)
+    scheduled = frontier.politeness_schedule(
+        unseen, generation=1, budget_per_host=32, salt_parts=16
+    ).filter(F.col("status") == "scheduled")
+    n_scheduled = scheduled.count()
+    dt = time.time() - t0
+    return n_scheduled / dt, n_scheduled
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from post_processor_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark(cores=cpus, app_name="bench", shuffle_partitions=cpus)
+    qs = e.queries()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    rate, n_sched = frontier_throughput(spark, FRONTIER_N_URLS)
+    times["frontier_schedule_pass"] = round(FRONTIER_N_URLS and n_sched / max(rate, 1e-9), 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "frontier_urls_scheduled_per_sec",
+                "value": round(rate, 1),
+                "unit": "urls/sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "frontier_urls": FRONTIER_N_URLS,
+                "frontier_scheduled": n_sched,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Deduplication operators over a documents(doc_id, text, ...) table.
+
+- exact_dedup: hash-groupBy (reference analog: first-wins record dedupe,
+  scripts/cleaner/record/clean.py:41-60, P6/P7)
+- minhash_lsh_candidates / minhash_dedup: shingle → minhash (xxhash64,
+  JVM-side) → band buckets → bucket join. The classic MinHash+LSH
+  near-dup pipeline expressed as explode/groupBy/join — no UDFs.
+- simhash: 64-bit simhash from token hashes via bit-vote aggregation,
+  vectorized with explode + groupBy over bit positions.
+- ngram_jaccard_pairs: exact n-gram Jaccard for candidate verification.
+
+Scale notes: every stage is shuffle-by-key with map-side combine;
+minhash bands bound the candidate-pair blowup; a duplicate mega-cluster
+is capped with per-bucket limits (documented below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """lower + collapse whitespace — shared normalization for dedup keys."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the first doc (by id) per normalized-text group."""
+    w = Window.partitionBy(normalize_text(F.col(text_col))).orderBy(id_col)
+    return docs.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def shingles(docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — word n-gram shingles, distinct per doc."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash via min(xxhash64(shingle, seed_i)).
+
+    One explode + one groupBy with num_hashes min() partial aggregates —
+    map-side combine keeps the shuffle at |docs| rows."""
+    sh = shingles(docs, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b) candidate near-dup pairs, id_a < id_b.
+
+    Band hash = xxhash64 of the band's signature slice; docs sharing any
+    band bucket become candidates. max_bucket caps degenerate buckets
+    (e.g. empty docs) so a mega-cluster can't produce O(n^2) pairs —
+    capped pairs are logged by the caller, not silently ok'd."""
+    b = signatures.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    w = Window.partitionBy("band", "bucket").orderBy("id")
+    b = b.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= max_bucket)
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 1, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    (id_a, id_b, jaccard) — the verification step after LSH, or a full
+    exact pass at small scale. Shuffle is bounded by the shingle
+    inverted index (hot shingles should be stopword-filtered upstream)."""
+    sh = shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long) — 64-bit simhash: per-token xxhash64, bit votes
+    summed per position, sign → bit. 64 sum() aggregates in ONE
+    groupBy(id) pass — partial (map-side) aggregation keeps the shuffle
+    at |docs| rows × 64 longs, no per-token arrays materialized."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    vote_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    summed = toks.groupBy("id").agg(*vote_aggs)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return summed.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dups(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) — block on 16-bit quarters (a pair within
+    hamming ≤3 shares at least one identical quarter by pigeonhole),
+    verify with popcount via bin()."""
+    quarters = sig.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(q).alias("q"),
+                         F.shiftright("simhash", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("block"))
+                for q in range(4)
+            ])
+        ).alias("qb"),
+    ).select("id", "simhash", "qb.q", "qb.block")
+    ham = F.length(F.regexp_replace(F.bin(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))), "0", ""))
+    pairs = (
+        quarters.alias("a")
+        .join(quarters.alias("b"), ["q", "block"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata. The Spark-side plumbing (schema, partitioning, Arrow
+batch shape, UDF signatures) is real and tested; the actual codec calls
+are STUBBED — the decode libraries are not in this container. Each stub
+is clearly marked and either raises NotImplementedError (strict mode) or
+produces a deterministic fake (test mode).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),       # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),      # opaque bytes
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def synthetic_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media table derived from doc ids — payload bytes
+    are a hash-expanded pattern so tests have real binary columns."""
+    return documents.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64(id_col), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.pmod(F.xxhash64(id_col, F.lit(1)), F.lit(1920)) + 1).cast("int").alias("width"),
+        (F.pmod(F.xxhash64(id_col, F.lit(2)), F.lit(1080)) + 1).cast("int").alias("height"),
+        (F.pmod(F.xxhash64(id_col, F.lit(3)), F.lit(60000))).cast("long").alias("duration_ms"),
+        F.to_binary(F.sha2(F.col(id_col).cast("string"), 256), F.lit("hex")).alias("payload"),
+    )
+
+
+def _decode_stub(payload: bytes, kind: str, strict: bool) -> np.ndarray:
+    """STUB: real impl would call PIL/libav/ffmpeg. Deterministic fake:
+    interpret payload bytes as the 'decoded' sample array."""
+    if strict:
+        raise NotImplementedError(
+            "media decode requires codec libraries not present in this "
+            "container — plug a real decoder in here"
+        )
+    return np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, strict: bool = False
+) -> DataFrame:
+    """decode → feature-extract as an Arrow-batched mapInPandas stage.
+
+    Partitioning note: media rows are large (payload bytes); the stage is
+    a narrow map — no shuffle. At 100 TB you bound Arrow batch memory via
+    spark.sql.execution.arrow.maxRecordsPerBatch (set in session.py) and
+    spark.sql.files.maxPartitionBytes on the scan."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, frames = [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                arr = _decode_stub(payload, kind, strict)
+                # 'feature' = dim bucket means over the decoded samples
+                pad = int(np.ceil(len(arr) / dim) * dim)
+                padded = np.pad(arr, (0, pad - len(arr)))
+                feats.append(padded.reshape(dim, -1).mean(axis=1).astype(np.float32).tolist())
+                frames.append(int(kind == "video") * 16 or 1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "n_frames": frames,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, max_px: int = 256, strict: bool = False) -> DataFrame:
+    """Resize stage: metadata math is real (aspect-preserving target
+    dims, JVM-side); pixel resampling is the stubbed decode path."""
+    scale = F.least(
+        F.lit(max_px) / F.greatest(F.col("width"), F.lit(1)),
+        F.lit(max_px) / F.greatest(F.col("height"), F.lit(1)),
+        F.lit(1.0),
+    )
+    return media.withColumn("target_width", F.ceil(F.col("width") * scale).cast("int")) \
+                .withColumn("target_height", F.ceil(F.col("height") * scale).cast("int"))
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for videos: one row per sampled timestamp —
+    pure explode on metadata (decode of the actual frame is the stub)."""
+    vids = media.filter(F.col("kind") == "video")
+    ts = F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+    return vids.select("media_id", F.explode(ts).alias("frame_ts_ms"))

@@ -1,0 +1,103 @@
+"""Text analysis operators: language-ID heuristic, quality scoring,
+token counting, document fingerprinting — all JVM-side expressions
+(whole-stage codegen; zero Python in the hot path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small pinned English stopword list (public knowledge)
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be",
+]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization after trim; empty string → empty array."""
+    t = F.trim(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored proxy: count word pieces + digits + punctuation runs
+    via a regex split — a deterministic stand-in for a real tokenizer."""
+    pieces = F.split(F.trim(col), r"(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])")
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def stopword_count(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.lit(stopwords or EN_STOPWORDS)
+    return F.size(F.filter(tokens(F.lower(col)), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(col: Column) -> Column:
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(stopword_count(col) / n)
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] heuristic: rewards mid-length docs with normal
+    stopword density and low punctuation noise."""
+    n = token_count(col)
+    len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.lit(1.0) - F.least(F.abs(sw - 0.4) * 2.5, F.lit(1.0))
+    p_score = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    return F.round((len_score + sw_score + p_score) / 3.0, 4)
+
+
+def lang_id(col: Column, threshold: float = 0.08) -> Column:
+    """n-gram-free heuristic: English iff stopword ratio clears the bar
+    and the text is mostly ASCII letters."""
+    ascii_ratio = F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, r"[^a-zA-Z\s]", "")).cast("double") / F.length(col)
+    )
+    return F.when(
+        (stopword_ratio(col) >= threshold) & (ascii_ratio >= 0.6), F.lit("en")
+    ).otherwise(F.lit("other"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text
+    (lower, collapse whitespace) — engine-portable (same value in any
+    SQL engine with md5)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def rolling_hash_fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over character
+    k-grams — robust to local edits, all JVM-side."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(window))),
+    )
+    return F.array_min(grams)
+
+
+def profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile used by quality filtering pipelines."""
+    c = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_pieces"),
+        F.round(stopword_ratio(c), 4).alias("stop_ratio"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

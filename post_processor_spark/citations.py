@@ -83,14 +83,20 @@ def prepare_scope(scope: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def _doc_side(documents: DataFrame, docs_meta: DataFrame):
-    """Explode spans into matcher inputs. documents: (doc_id, spans)."""
+def _doc_side(documents: DataFrame, docs_meta: DataFrame, persist: bool = False):
+    """Explode spans into matcher inputs. documents: (doc_id, spans).
+
+    persist=True caches the documents⋈meta join — it feeds three
+    consumers (link rows, mention rows, text surface) and six match
+    branches; without caching each branch re-scans and re-joins."""
     meta = docs_meta.select(
         "doc_id", "url", "doc_type", "domain", "seq",
         tld_parts(F.col("domain")).alias("doc_tld"),
         _handle_norm(F.col("domain")).alias("doc_handle_norm"),
     )
     d = documents.join(meta, "doc_id")
+    if persist:
+        d = d.persist()
 
     link_rows = (
         d.select("doc_id", "doc_type", "doc_tld", "doc_handle_norm",
@@ -136,13 +142,14 @@ def _doc_side(documents: DataFrame, docs_meta: DataFrame):
 
 
 def match_citations(
-    documents: DataFrame, docs_meta: DataFrame, citation_scope: DataFrame
+    documents: DataFrame, docs_meta: DataFrame, citation_scope: DataFrame,
+    persist: bool = False,
 ) -> DataFrame:
     """→ (doc_id, citation_url_or_text_alias, citation_name, anchor_text,
     found_aliases) — the four parallel arrays of
     processor_domain.py:30-33/89, as real array<string> columns."""
     sc = prepare_scope(citation_scope)
-    link_rows, mention_rows, doc_text = _doc_side(documents, docs_meta)
+    link_rows, mention_rows, doc_text = _doc_side(documents, docs_meta, persist=persist)
 
     bc_hosts = F.broadcast(sc["http_hosts"])
     bc_alias = F.broadcast(sc["alias"])
@@ -489,9 +496,10 @@ def run_pipeline(
     docs_meta: DataFrame,
     crawl_scope: DataFrame,
     citation_scope: DataFrame,
+    persist: bool = False,
 ) -> DataFrame:
     """The §3.1 lifecycle (compiler.py:79-104) as one composed plan."""
-    cites = match_citations(documents, docs_meta, citation_scope)
+    cites = match_citations(documents, docs_meta, citation_scope, persist=persist)
     decorated = decorate_scope_info(docs_meta, crawl_scope)
     edges = build_referral_edges(documents, docs_meta, cites)
     refs = referral_lists(edges)

@@ -160,8 +160,9 @@ def synthetic_documents(
 
     k = (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 2))) % (links_per_doc_max + 1)).cast("int")
     # deterministic targets: mix of intra-corpus docs and fresh URLs
+    # (sequence(1, 0) would yield a DESCENDING [1,0] — guard k=0 to empty)
     link_spans = F.transform(
-        F.sequence(F.lit(1), k),
+        F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>")),
         lambda i: F.struct(
             F.lit("link").alias("kind"),
             F.concat(F.lit("anchor "), i.cast("string")).alias("text"),

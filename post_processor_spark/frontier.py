@@ -1,0 +1,273 @@
+"""Frontier + per-host politeness scheduler (the north_rule core).
+
+Reference analog being re-expressed: the getAllUrls crawl loop — a
+directory of pending URLs, workers fetching pages, extracting <a>
+outlinks, merging new URLs, restart until drained
+(archived/utils/getAllUrls/master.py:10-18, getURLs.py:49-166) — plus its
+round-robin work assignment (archived/Post-Processor/processor.py:798-827).
+
+Spark-first design:
+- frontier/seen/metrics are snapshot tables (state.SnapshotStore), one
+  snapshot per generation → exact resume (north_rule).
+- crawl ordering is an explicit deterministic sort key
+  (priority, generation_discovered, seq, sub) — reproducing the
+  reference's insertion-order processing (SURVEY.md §2.6 O3) as a defined
+  contract instead of dict-iteration order.
+- politeness: per-host budget B per generation + crawl-delay slots. The
+  top-B-per-host selection is TWO-PHASE to stay balanced under skew
+  (north_rule mega-domain salting): phase 1 ranks within
+  (host, salt=pmod(url_hash, S)) shards and keeps ≤B per shard — any row
+  in the global per-host top-B survives its shard's top-B — phase 2
+  ranks the ≤B*S survivors per host. A mega-host's millions of pending
+  rows are ranked in S balanced shards; only B*S rows reach the final
+  per-host window. The per-generation budget B is the capped token
+  bucket.
+- fetch is simulated by joining scheduled URLs back to the documents
+  corpus (sandbox has no network; the fetch stage is injectable — S11).
+- not_before timestamps are deterministic: epoch(g) = BASE + g*B*delay,
+  slot i → epoch(g) + i*delay. No wall clock in data.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import canon
+from .seen import filter_unseen
+from .state import SnapshotStore
+
+# fixed, documented epoch for deterministic not_before timestamps
+_BASE_EPOCH = 1_700_000_000  # 2023-11-14T22:13:20Z
+DEFAULT_PRIORITY = 5
+
+ORDER_COLS = ["priority", "generation", "seq", "sub"]
+
+
+def canonicalize_candidates(df: DataFrame) -> DataFrame:
+    """(url, priority, generation, seq, sub) → + canonical/host/hashes."""
+    return canon.with_canonical(df, "url")
+
+
+def dedupe_candidates(df: DataFrame) -> DataFrame:
+    """First occurrence per url_hash in crawl order (P6 analog, exact,
+    deterministic under parallelism)."""
+    w = Window.partitionBy("url_hash").orderBy(*ORDER_COLS)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def politeness_schedule(
+    pending: DataFrame,
+    generation: int,
+    budget_per_host: int = 8,
+    crawl_delay_sec: int = 1,
+    salt_parts: int = 16,
+) -> DataFrame:
+    """Tag pending rows: the per-host top-B in crawl order get
+    status='scheduled' + a not_before slot; the rest stay 'pending'.
+
+    Returns the full frame with updated status/not_before/sched_gen."""
+    salt = F.pmod(F.col("url_hash"), F.lit(salt_parts))
+    w_shard = Window.partitionBy("host_hash", salt).orderBy(*ORDER_COLS)
+    w_host = Window.partitionBy("host_hash").orderBy(*ORDER_COLS)
+
+    pre = pending.withColumn("_shard_rn", F.row_number().over(w_shard))
+    survivors = pre.filter(F.col("_shard_rn") <= budget_per_host).drop("_shard_rn")
+    rest_shard = pre.filter(F.col("_shard_rn") > budget_per_host).drop("_shard_rn")
+
+    ranked = survivors.withColumn("_rn", F.row_number().over(w_host))
+    epoch = _BASE_EPOCH + generation * budget_per_host * crawl_delay_sec
+    scheduled = (
+        ranked.filter(F.col("_rn") <= budget_per_host)
+        .withColumn("status", F.lit("scheduled"))
+        .withColumn("sched_gen", F.lit(generation))
+        .withColumn(
+            "not_before",
+            F.timestamp_seconds(F.lit(epoch) + (F.col("_rn") - 1) * crawl_delay_sec),
+        )
+        .drop("_rn")
+    )
+    overflow = ranked.filter(F.col("_rn") > budget_per_host).drop("_rn")
+    still_pending = overflow.unionByName(rest_shard)
+    return scheduled.unionByName(still_pending)
+
+
+def extract_outlinks(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans, url, seq) → one row per link/media span:
+    (url, parent_seq, sub). The vectorized span-explosion the north_rule
+    asks for — link extraction happened once at ingest (spans are the
+    canonical representation), so frontier expansion is a pure explode."""
+    return (
+        documents.select(
+            F.col("url").alias("parent_url"),
+            F.col("seq").alias("parent_seq"),
+            F.explode("spans").alias("s"),
+        )
+        .filter(F.col("s.kind").isin("link", "media"))
+        .select(
+            F.col("s.media_ref").alias("url"),
+            F.col("parent_seq"),
+            F.col("s.offset").cast("long").alias("sub"),
+        )
+    )
+
+
+def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
+    """(url, priority, seq) → generation-0 pending frontier rows."""
+    base = (
+        seeds.withColumn("generation", F.lit(0))
+        .withColumn("sub", F.lit(0).cast("long"))
+        .withColumn("status", F.lit("pending"))
+        .withColumn("not_before", F.lit(None).cast("timestamp"))
+        .withColumn("sched_gen", F.lit(None).cast("int"))
+    )
+    return dedupe_candidates(canonicalize_candidates(base))
+
+
+FRONTIER_COLS = [
+    "url", "canonical_url", "url_hash", "host", "host_hash",
+    "priority", "generation", "seq", "sub", "status", "not_before", "sched_gen",
+]
+
+
+def run_generation(
+    spark: SparkSession,
+    store: SnapshotStore,
+    documents: DataFrame,
+    generation: int,
+    budget_per_host: int = 8,
+    crawl_delay_sec: int = 1,
+    salt_parts: int = 16,
+    use_bloom: bool = True,
+) -> dict:
+    """One frontier generation: schedule → fetch(sim) → expand → dedupe →
+    seen-filter → snapshot. Returns driver-side metrics dict."""
+    t0 = time.time()
+    frontier = store.read(spark, "frontier").select(*FRONTIER_COLS)
+    seen = store.read(spark, "seen")
+
+    pending = frontier.filter(F.col("status") == "pending")
+    done_rows = frontier.filter(F.col("status") != "pending")
+    rows_in = pending.count()
+
+    updated = politeness_schedule(
+        pending, generation, budget_per_host, crawl_delay_sec, salt_parts
+    )
+    updated = updated.persist()
+    scheduled = updated.filter(F.col("status") == "scheduled")
+
+    # fetch simulation (S11): scheduled URL → its document in the corpus
+    docs_canon = documents.select(
+        canon.canonical_url(F.col("url")).alias("doc_canonical_url"),
+        "url", "spans", "seq",
+    )
+    fetched = scheduled.select("canonical_url", F.col("seq").alias("parent_rank")).join(
+        docs_canon, F.col("canonical_url") == F.col("doc_canonical_url"), "inner"
+    ).select("url", "spans", F.col("seq"))
+
+    discovered = (
+        extract_outlinks(fetched)
+        .withColumn("priority", F.lit(DEFAULT_PRIORITY))
+        .withColumn("generation", F.lit(generation))
+        .withColumn("seq", F.col("parent_seq"))
+        .drop("parent_seq")
+        .withColumn("status", F.lit("pending"))
+        .withColumn("not_before", F.lit(None).cast("timestamp"))
+        .withColumn("sched_gen", F.lit(None).cast("int"))
+    )
+    discovered = dedupe_candidates(canonicalize_candidates(discovered)).select(
+        *FRONTIER_COLS
+    )
+    n_discovered = discovered.count()
+    new_rows = filter_unseen(discovered, seen, use_bloom=use_bloom).select(*FRONTIER_COLS)
+
+    # scheduled rows are fetched within the generation → status done
+    finished = scheduled.withColumn("status", F.lit("done"))
+    next_frontier = (
+        done_rows.unionByName(finished)
+        .unionByName(updated.filter(F.col("status") == "pending"))
+        .unionByName(new_rows)
+    )
+    next_seen = seen.unionByName(
+        new_rows.select("url_hash", "host_hash", F.lit(generation).alias("generation"))
+    )
+
+    store.write("frontier", next_frontier, generation)
+    store.write("seen", next_seen, generation)
+
+    n_scheduled = scheduled.count()
+    n_new = new_rows.count()
+    wall_ms = int((time.time() - t0) * 1000)
+    metrics_rows = [
+        (generation, -1, rows_in, n_new, n_scheduled, n_discovered - n_new, wall_ms)
+    ]
+    # per-partition lineage (A6/north_rule): partition-level scheduled counts
+    part_counts = (
+        scheduled.groupBy(F.spark_partition_id().alias("partition_id"))
+        .count()
+        .collect()
+    )
+    for r in part_counts:
+        metrics_rows.append((generation, r["partition_id"], rows_in, n_new, r["count"], 0, wall_ms))
+    metrics = spark.createDataFrame(
+        metrics_rows,
+        "generation int, partition_id int, rows_in long, rows_out long,"
+        " scheduled long, filtered_seen long, wall_ms long",
+    )
+    prev = (
+        store.read(spark, "metrics")
+        if store.current_generation("metrics") is not None
+        else None
+    )
+    store.write("metrics", metrics if prev is None else prev.unionByName(metrics), generation)
+    updated.unpersist()
+    return {
+        "generation": generation,
+        "rows_in": rows_in,
+        "scheduled": n_scheduled,
+        "discovered": n_discovered,
+        "new": n_new,
+        "wall_ms": wall_ms,
+    }
+
+
+def bootstrap(
+    spark: SparkSession, store: SnapshotStore, seeds: DataFrame
+) -> dict:
+    """Generation 0: seed the frontier + seen set."""
+    fr = seeds_to_frontier(seeds).select(*FRONTIER_COLS)
+    store.write("frontier", fr, 0)
+    store.write(
+        "seen",
+        fr.select("url_hash", "host_hash", F.lit(0).alias("generation")),
+        0,
+    )
+    n = fr.count()
+    return {"generation": 0, "seeded": n}
+
+
+def run_generations(
+    spark: SparkSession,
+    store: SnapshotStore,
+    documents: DataFrame,
+    seeds: DataFrame | None,
+    n_generations: int,
+    start_generation: int | None = None,
+    **kwargs,
+) -> list[dict]:
+    """Drive the generation loop (the reference's master.py restart loop).
+
+    With start_generation=None: bootstrap from seeds then run 1..n.
+    With start_generation=k: exact resume from snapshot k (seeds ignored)."""
+    out = []
+    if start_generation is None:
+        assert seeds is not None, "seeds required for a fresh run"
+        out.append(bootstrap(spark, store, seeds))
+        gens = range(1, n_generations + 1)
+    else:
+        gens = range(start_generation + 1, start_generation + 1 + n_generations)
+    for g in gens:
+        out.append(run_generation(spark, store, documents, g, **kwargs))
+    return out

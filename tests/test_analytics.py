@@ -1,0 +1,110 @@
+"""Tests for training-data operators (dedup / similarity / text / media)."""
+
+from pyspark.sql import functions as F
+
+from post_processor_spark.analytics import dedup, multimodal, similarity, text
+
+
+def _docs(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox jumps over the lazy dog"),          # exact dup of d1
+        ("d3", "The  Quick Brown FOX jumps over the lazy dog"),         # normalized dup
+        ("d4", "the quick brown fox leaps over the lazy dog"),          # near dup (1 word)
+        ("d5", "completely different content about spark engines here"),
+        ("d6", ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark))
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == ["d1", "d4", "d5", "d6"]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark).filter("text != ''")
+    sig = dedup.minhash_signatures(docs, num_hashes=32, shingle_n=2)
+    pairs = dedup.minhash_lsh_candidates(sig, bands=16, rows_per_band=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact dups always collide on every band
+    assert ("d1", "d2") in got and ("d1", "d3") in got
+    # near-dup d4 should share at least one band with d1 at this setting
+    assert ("d1", "d4") in got
+    # unrelated doc shouldn't pair with anything
+    assert not any("d5" in p for p in got)
+
+
+def test_ngram_jaccard(spark):
+    docs = _docs(spark)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.7)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[("d1", "d2")] == 1.0
+    assert got[("d1", "d3")] == 1.0
+    assert 0.7 <= got[("d1", "d4")] < 1.0
+
+
+def test_simhash_near_dups(spark):
+    docs = _docs(spark).filter("text != ''")
+    sig = dedup.simhash(docs)
+    vals = {r["id"]: r["simhash"] for r in sig.collect()}
+    assert vals["d1"] == vals["d2"] == vals["d3"]
+    pairs = dedup.simhash_near_dups(sig, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("d1", "d2") in got and ("d1", "d4") in got
+
+
+def test_brute_force_topk_and_lsh(spark):
+    import math
+    rows = [(i, [math.cos(i * 0.3 + d) for d in range(4)]) for i in range(50)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = similarity.brute_force_topk(corpus, queries, k=3, vec_col="embedding")
+    res = {(r["query_id"], r["rank"]): r for r in topk.collect()}
+    # self is always the top neighbor with sim ~1
+    for q in range(3):
+        assert res[(q, 1)]["neighbor_id"] == q
+        assert abs(res[(q, 1)]["sim"] - 1.0) < 1e-9
+    lsh = similarity.lsh_topk(corpus, queries, k=3, n_planes=4, dim=4)
+    lres = {(r["query_id"], r["rank"]): r for r in lsh.collect()}
+    for q in range(3):  # self shares its own bucket → always recalled
+        assert lres[(q, 1)]["neighbor_id"] == q
+
+
+def test_text_profile(spark):
+    docs = _docs(spark)
+    prof = {r["doc_id"]: r for r in text.profile(docs).collect()}
+    assert prof["d1"]["n_tokens"] == 9
+    assert prof["d6"]["n_tokens"] == 0
+    assert prof["d1"]["lang_pred"] == "en"
+    assert prof["d1"]["fingerprint"] == prof["d3"]["fingerprint"]
+    assert prof["d1"]["fingerprint"] != prof["d4"]["fingerprint"]
+    assert 0.0 <= prof["d1"]["quality"] <= 1.0
+
+
+def test_multimodal_plumbing(spark):
+    docs = _docs(spark)
+    media = multimodal.synthetic_media(docs)
+    assert media.count() == 6
+    feats = multimodal.extract_features(media, dim=8)
+    rows = feats.collect()
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same input → same features
+    again = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media, dim=8).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature"]
+    resized = multimodal.resize_images(media, max_px=128)
+    for r in resized.collect():
+        assert max(r["target_width"], r["target_height"]) <= 128
+    frames = multimodal.sample_frames(media, every_ms=5000)
+    assert frames.count() >= media.filter("kind='video'").count()
+
+
+def test_strict_decode_raises(spark):
+    import pytest as _pytest
+    media = multimodal.synthetic_media(_docs(spark)).limit(1)
+    with _pytest.raises(Exception):
+        multimodal.extract_features(media, strict=True).collect()

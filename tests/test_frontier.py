@@ -1,0 +1,123 @@
+"""Frontier engine tests: seen-set (bloom == exact), politeness
+budget/ordering, skew balance, snapshot resume equality (SURVEY.md §5)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from post_processor_spark import fixtures, frontier, seen as seen_mod
+from post_processor_spark.state import SnapshotStore
+
+
+def test_bloom_matches_exact(spark):
+    cands = frontier.canonicalize_candidates(
+        fixtures.synthetic_seed_frontier(spark, 3000, n_hosts=40, seed=1)
+        .withColumn("generation", F.lit(0))
+        .withColumn("sub", F.lit(0).cast("long"))
+    )
+    # half the candidates are 'seen'
+    seen_tbl = cands.filter(F.col("seq") % 2 == 0).select(
+        "url_hash", "host_hash", F.lit(0).alias("generation")
+    )
+    exact = seen_mod.filter_unseen(cands, seen_tbl, use_bloom=False)
+    bloom = seen_mod.filter_unseen(cands, seen_tbl, use_bloom=True, n_buckets=8)
+    a = sorted(r["url_hash"] for r in exact.select("url_hash").collect())
+    b = sorted(r["url_hash"] for r in bloom.select("url_hash").collect())
+    assert a == b
+    assert len(a) == cands.filter(F.col("seq") % 2 == 1).count()
+
+
+def test_politeness_budget_and_order(spark):
+    rows = [
+        # (url, priority, seq) — one busy host, one quiet host
+        *[(f"https://busy.com/{i}", 5 if i else 1, i) for i in range(10)],
+        ("https://quiet.com/x", 5, 100),
+    ]
+    df = spark.createDataFrame(rows, "url string, priority int, seq long")
+    pending = frontier.seeds_to_frontier(df)
+    out = frontier.politeness_schedule(pending, generation=1, budget_per_host=3,
+                                       crawl_delay_sec=2, salt_parts=4)
+    sched = out.filter(F.col("status") == "scheduled").collect()
+    by_host = {}
+    for r in sched:
+        by_host.setdefault(r["host"], []).append(r)
+    # budget respected per host
+    assert len(by_host["busy.com"]) == 3
+    assert len(by_host["quiet.com"]) == 1
+    # crawl order: priority asc then seq asc — busy.com seq0 has priority 1
+    busy = sorted(by_host["busy.com"], key=lambda r: r["not_before"])
+    assert [r["seq"] for r in busy] == [0, 1, 2]
+    # crawl-delay slots: not_before spaced by delay within the host... slots
+    # are global ranks, so just check they're strictly increasing + distinct
+    nb = [r["not_before"] for r in busy]
+    assert nb == sorted(nb) and len(set(nb)) == 3
+    # overflow stays pending
+    assert out.filter(F.col("status") == "pending").count() == 11 - 4
+
+
+def test_skew_two_phase_topk(spark):
+    """Mega-host: per-host budget still exact under salted two-phase."""
+    df = fixtures.synthetic_seed_frontier(spark, 5000, n_hosts=50,
+                                          mega_host_share=0.8, seed=3)
+    pending = frontier.seeds_to_frontier(df)
+    out = frontier.politeness_schedule(pending, generation=1, budget_per_host=5,
+                                       salt_parts=8)
+    counts = (
+        out.filter(F.col("status") == "scheduled").groupBy("host").count().collect()
+    )
+    assert all(r["count"] <= 5 for r in counts)
+    mega = [r for r in counts if r["host"] == "host0.example.com"]
+    assert mega and mega[0]["count"] == 5
+    # exactness: scheduled set == naive global top-5 per host
+    naive = (
+        pending.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy("host_hash").orderBy(
+                    *frontier.ORDER_COLS
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("url_hash")
+    )
+    got = out.filter(F.col("status") == "scheduled").select("url_hash")
+    assert got.subtract(naive).count() == 0 and naive.subtract(got).count() == 0
+
+
+@pytest.mark.slow
+def test_generations_and_resume(spark):
+    docs = fixtures.synthetic_documents(spark, 400, n_hosts=20, seed=11).persist()
+    seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq")).limit(50)
+
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        s_full = SnapshotStore(d1)
+        full = frontier.run_generations(
+            spark, s_full, docs, seeds, n_generations=3, budget_per_host=4,
+            use_bloom=False,
+        )
+        assert full[0]["seeded"] == 50
+        assert all(g["scheduled"] > 0 for g in full[1:])
+
+        # resume: replay gens 1..2 into a second store, stop, resume gen 3
+        s_resume = SnapshotStore(d2)
+        frontier.run_generations(
+            spark, s_resume, docs, seeds, n_generations=2, budget_per_host=4,
+            use_bloom=False,
+        )
+        frontier.run_generations(
+            spark, s_resume, docs, None, n_generations=1,
+            start_generation=2, budget_per_host=4, use_bloom=False,
+        )
+        for table in ("frontier", "seen"):
+            a = s_full.read(spark, table, 3)
+            b = s_resume.read(spark, table, 3)
+            assert a.count() == b.count()
+            assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+        # crawl ordering contract: scheduled set per generation identical
+        fa = s_full.read(spark, "frontier", 3).filter("status != 'pending'")
+        fb = s_resume.read(spark, "frontier", 3).filter("status != 'pending'")
+        cols = ["url_hash", "sched_gen", "not_before"]
+        assert fa.select(cols).subtract(fb.select(cols)).count() == 0
