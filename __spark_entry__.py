@@ -433,6 +433,36 @@ def _q_url_canon(spark, sf):
 # LSH internals, media stubs). Driver records a weaker rows-only check.
 # --------------------------------------------------------------------------
 
+def _q_record_dedup_desc(spark, sf):
+    """P7: first-wins dedupe then reverse-id output order
+    (scripts/cleaner/record/clean.py:41-60) — on events by user."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id")
+        .orderBy(F.desc("user_id"))
+    )
+
+
+def _q_scope_gate(spark, sf):
+    """P9: membership gate + non-empty-citations filter
+    (archived/Post-Processor/processor.py:617-633) — orders whose
+    customer is in a 'scope' (semi join) and that have >= 3 lineitems."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    li = _t(spark, sf, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .join(cnt, o.o_orderkey == cnt.l_orderkey)
+        .filter(F.col("n_items") >= 3)
+        .select("o_orderkey", "n_items")
+        .orderBy("o_orderkey")
+    )
+
+
 def _q_frontier_schedule(spark, sf):
     from post_processor_spark import fixtures
     seeds = fixtures.synthetic_seed_frontier(spark, 20000, n_hosts=200, mega_host_share=0.5, seed=13)
@@ -523,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": _q_lang_id,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_ann_cosine": _q_ann_cosine,
+        "q_record_dedup_desc": _q_record_dedup_desc,
+        "q_scope_gate": _q_scope_gate,
         # rows-only (non-SQL-expressible)
         "q_frontier_schedule": _q_frontier_schedule,
         "q_seen_filter": _q_seen_filter,
@@ -742,6 +774,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
             ORDER BY id_a, id_b
+        """,
+        "q_record_dedup_desc": """
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              FROM events
+            ) WHERE rn = 1 ORDER BY user_id DESC
+        """,
+        "q_scope_gate": """
+            SELECT o_orderkey, n_items
+            FROM orders
+            JOIN (SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey) c
+              ON o_orderkey = c.l_orderkey
+            WHERE n_items >= 3
+              AND EXISTS (SELECT 1 FROM customer
+                          WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey
+        """,
+        "q_span_extract": """
+            SELECT 'https://corpus.example.com/doc/'
+                     || CAST((d.doc_id * 7 + k.k) % (SELECT count(*) FROM documents) AS VARCHAR) AS url,
+                   d.doc_id AS parent_seq,
+                   CAST(k.k AS BIGINT) AS sub
+            FROM documents d,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(d.doc_id % 4 AS BIGINT))) AS k) k
+            ORDER BY parent_seq, sub
         """,
         "q_ann_cosine": """
             SELECT query_id, rank, neighbor_id FROM (

@@ -59,8 +59,10 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
 
     from post_processor_spark import fixtures, frontier, seen as seen_mod
 
+    # realistic web-shaped host diversity (~50 URLs/host) + one mega-host
+    # at 30% of traffic so the salted two-phase top-B is actually exercised
     seeds = fixtures.synthetic_seed_frontier(
-        spark, n_urls, n_hosts=max(200, n_urls // 500), mega_host_share=0.3, seed=99
+        spark, n_urls, n_hosts=max(200, n_urls // 50), mega_host_share=0.3, seed=99
     )
     t0 = time.time()
     pending = frontier.seeds_to_frontier(seeds)
@@ -70,7 +72,7 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
     )
     unseen = seen_mod.filter_unseen(pending, seen_tbl, use_bloom=True)
     scheduled = frontier.politeness_schedule(
-        unseen, generation=1, budget_per_host=32, salt_parts=16
+        unseen, generation=1, budget_per_host=64, salt_parts=16
     ).filter(F.col("status") == "scheduled")
     n_scheduled = scheduled.count()
     dt = time.time() - t0

@@ -138,15 +138,33 @@ def host_hash(host: Column) -> Column:
 
 
 def with_canonical(df, url_col: str = "url", prefix: str = ""):
-    """Attach canonical_url/host/registrable_domain/url_hash/host_hash."""
+    """Attach canonical_url/host/registrable_domain/url_hash/host_hash.
+
+    Staged so each regex over the raw URL runs ONCE (intermediate columns
+    reused) — a naive composition re-evaluates the authority extraction
+    per derived column and regex is the dominant per-row cost."""
     u = F.col(url_col)
-    return (
-        df.withColumn(prefix + "canonical_url", canonical_url(u))
-        .withColumn(prefix + "host", url_host(u))
+    no_frag = F.regexp_replace(F.trim(u), r"#.*$", "")
+    staged = df.withColumn("_nf", no_frag).withColumn(
+        "_auth", F.regexp_extract(F.col("_nf"), _SCHEME_RE + r"([^/?#]*)", 3)
+    )
+    host = F.lower(
+        F.regexp_replace(F.regexp_replace(F.col("_auth"), r"^[^@]*@", ""), r":\d+$", "")
+    )
+    staged = staged.withColumn(prefix + "host", host)
+    scheme = F.lower(F.regexp_extract(F.col("_nf"), _SCHEME_RE, 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(F.col("_nf"), _SCHEME_RE + r"[^/?#]*", ""), r"\?$", ""
+    )
+    canon = F.when(
+        scheme != "", F.concat(scheme, F.lit("://"), F.col(prefix + "host"), rest)
+    ).otherwise(F.concat(F.col(prefix + "host"), rest))
+    staged = (
+        staged.withColumn(prefix + "canonical_url", canon)
         .withColumn(
-            prefix + "registrable_domain",
-            registrable_domain(F.col(prefix + "host")),
+            prefix + "registrable_domain", registrable_domain(F.col(prefix + "host"))
         )
         .withColumn(prefix + "url_hash", url_hash(F.col(prefix + "canonical_url")))
         .withColumn(prefix + "host_hash", host_hash(F.col(prefix + "host")))
     )
+    return staged.drop("_nf", "_auth")

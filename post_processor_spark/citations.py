@@ -491,6 +491,45 @@ def final_output(citations: DataFrame, probed: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_nodes(docs_meta: DataFrame, referrals: DataFrame) -> DataFrame:
+    """J7/J8 (archived engine): emit a node for every referred URL that is
+    NOT a document in the corpus (archived/Post-Processor/processor.py:
+    901-921, node gen 746-762) — left_anti against docs + synthesized
+    minimal row. Domain derived by host (the archived path-strip, P17)."""
+    from .canon import url_host
+
+    dsts = (
+        referrals.groupBy("dst")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("side").alias("o"), F.col("referrers").alias("v"))
+                        )
+                    ),
+                    lambda x: x["v"],
+                )
+            ).alias("all_refs")
+        )
+    )
+    unknown = dsts.join(docs_meta, dsts.dst == docs_meta.url, "left_anti")
+    return unknown.select(
+        F.col("dst").alias("id"),
+        F.col("dst").alias("url"),
+        url_host(F.col("dst")).alias("domain"),
+        F.lit("synthetic").alias("type"),
+        F.array_distinct("all_refs").alias("referring_name"),
+        F.size(F.array_distinct("all_refs")).alias("number_of_referrals"),
+    )
+
+
+def interest_ranking(output: DataFrame) -> DataFrame:
+    """A5: rank output rows by referral count (the archived engine's
+    interest output sort, archived/Post-Processor/processor.py:943)."""
+    return output.orderBy(F.desc("number_of_referrals"), F.asc("url"))
+
+
 def run_pipeline(
     documents: DataFrame,
     docs_meta: DataFrame,

@@ -73,7 +73,10 @@ def politeness_schedule(
     w_shard = Window.partitionBy("host_hash", salt).orderBy(*ORDER_COLS)
     w_host = Window.partitionBy("host_hash").orderBy(*ORDER_COLS)
 
-    pre = pending.withColumn("_shard_rn", F.row_number().over(w_shard))
+    # persist: `pre` feeds both the survivors branch and the shard
+    # overflow branch of the union; uncached, each branch re-runs the
+    # pending lineage (canonicalize + dedupe + seen filter)
+    pre = pending.withColumn("_shard_rn", F.row_number().over(w_shard)).persist()
     survivors = pre.filter(F.col("_shard_rn") <= budget_per_host).drop("_shard_rn")
     rest_shard = pre.filter(F.col("_shard_rn") > budget_per_host).drop("_shard_rn")
 

@@ -142,7 +142,10 @@ def filter_unseen(
     if not use_bloom:
         return candidates.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
     bloom = build_bloom(seen, n_buckets, bits_per_bucket)
-    tagged = bloom_filter_candidates(candidates, bloom, n_buckets, bits_per_bucket)
+    # persist: both branches (definitely-unseen ∪ resolved-maybe) consume
+    # `tagged`; without a cache each union branch re-runs the candidate
+    # lineage AND the bloom check
+    tagged = bloom_filter_candidates(candidates, bloom, n_buckets, bits_per_bucket).persist()
     definitely_unseen = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     resolved = maybe.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")

@@ -1,0 +1,84 @@
+"""Structured Streaming front-end for the frontier (SURVEY.md §2.9).
+
+The reference is batch-with-restart-loop (master.py:10-18); the
+generation loop in frontier.py reproduces that contract. This module adds
+the Spark-native streaming idiom on top: a readStream source of seed
+batches driving the SAME generation logic through foreachBatch — state
+(frontier/seen/metrics) lives in the SnapshotStore between micro-batches
+exactly as between batch generations, so streaming and batch runs are
+interchangeable and equally resumable.
+
+No watermarks/late-data semantics exist to reproduce (the reference has
+none); event-time windowing over crawl metrics is provided for
+monitoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import frontier
+from .state import SnapshotStore
+
+SEED_SCHEMA = "url string, priority int, seq long"
+
+
+def seed_stream(spark: SparkSession, seed_dir: str) -> DataFrame:
+    """Micro-batch source: JSON seed files dropped into a directory —
+    the streaming analog of the reference's input-dir frontier
+    (getURLs.py:112-116)."""
+    return spark.readStream.schema(SEED_SCHEMA).json(seed_dir)
+
+
+def start_frontier_stream(
+    spark: SparkSession,
+    store: SnapshotStore,
+    documents: DataFrame,
+    seed_dir: str,
+    checkpoint_dir: str,
+    **sched_kwargs,
+):
+    """foreachBatch: each micro-batch of new seed URLs is merged into the
+    frontier and one generation is run. Streaming checkpoint handles
+    source offsets; SnapshotStore handles engine state — both resume."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        gen_now = store.current_generation("frontier")
+        if gen_now is None:
+            frontier.bootstrap(spark, store, batch_df)
+            gen_now = 0
+        elif batch_df.take(1):
+            new_rows = frontier.seeds_to_frontier(batch_df).select(*frontier.FRONTIER_COLS)
+            current = store.read(spark, "frontier").select(*frontier.FRONTIER_COLS)
+            seen = store.read(spark, "seen")
+            unseen_new = new_rows.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+            store.write("frontier", current.unionByName(unseen_new.select(*frontier.FRONTIER_COLS)), gen_now)
+            store.write(
+                "seen",
+                seen.unionByName(
+                    unseen_new.select("url_hash", "host_hash", F.lit(gen_now).alias("generation"))
+                ),
+                gen_now,
+            )
+        frontier.run_generation(spark, store, documents, gen_now + 1, **sched_kwargs)
+
+    return (
+        seed_stream(spark, seed_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def metrics_window(metrics: DataFrame, minutes: int = 1) -> DataFrame:
+    """Monitoring: windowed aggregation over per-generation metrics
+    (wall-clock derived from not_before slots is deterministic)."""
+    return (
+        metrics.groupBy(F.window(F.current_timestamp(), f"{minutes} minutes"))
+        .agg(
+            F.sum("scheduled").alias("scheduled"),
+            F.sum("rows_out").alias("discovered_new"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Sources/sinks, enrichment stages, plan introspection, streaming."""
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from post_processor_spark import enrich, plans, sources
+
+
+def test_twitter_csv_roundtrip(spark, tmp_path):
+    csv = tmp_path / "tw"
+    csv.mkdir()
+    (csv / "a_output_0.csv").write_text(
+        "id,tweet_url,twitter_handle,created_at,text,citation_urls,entities,"
+        "public_metrics,author_id,lang\n"
+        '1,https://twitter.com/h/status/1,@h,2020-01-01,"hi there",'
+        "\"['https://x.com/a']\",\"{'mentions': [{'username': 'bob'}]}\","
+        "\"{'retweet_count': 2, 'reply_count': 0, 'like_count': 1, 'quote_count': 0}\",9,en\n"
+    )
+    raw = sources.read_twitter_csv(spark, str(csv / "*.csv"))
+    norm = sources.parse_twitter_raw(raw)
+    r = norm.collect()[0]
+    assert r["url"] == "https://twitter.com/h/status/1"
+    assert r["found_urls"] == ["https://x.com/a"]
+    assert r["mentions"] == ["bob"]
+    assert r["retweet_count"] == 2 and r["like_count"] == 1
+
+
+def test_domain_json_scan(spark, tmp_path):
+    doc = {
+        "title": "T", "url": "https://a.com/x", "date": "",
+        "html_content": '<a href="https://b.com/y">anchor</a>',
+        "article_text": "body", "domain": "https://a.com/",
+        "found_urls": [{"title": "t", "url": "https://b.com/y"}],
+    }
+    d = tmp_path / "dom"
+    d.mkdir()
+    (d / "doc1.json").write_text(json.dumps(doc))
+    df = sources.read_domain_json(spark, str(d))
+    r = df.collect()[0]
+    assert r["url"] == "https://a.com/x"
+    assert r["found_urls"][0]["url"] == "https://b.com/y"
+
+
+def test_csv_sink_stringifies_arrays(spark, tmp_path):
+    df = spark.createDataFrame([("a", ["x", "y"])], "id string, refs array<string>")
+    out = str(tmp_path / "out")
+    sources.write_csv(df, out, single_file=True)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    body = open(os.path.join(out, files[0])).read()
+    # Spark CSV escapes embedded quotes with backslash by default
+    assert '"[\\"x\\",\\"y\\"]"' in body
+
+
+def test_expand_urls_skip_predicate(spark):
+    df = spark.createDataFrame(
+        [("https://www.a.com/x",), ("https://twitter.com/u/status/1",), ("https://t.co/abc",)],
+        "url string",
+    )
+    import pandas as pd
+
+    def resolver(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: u + "?expanded")
+
+    out = {r["url"]: r["expanded_url"] for r in enrich.expand_urls(df, resolver=resolver).collect()}
+    assert out["https://www.a.com/x"] == "https://www.a.com/x"          # skipped: has www
+    assert out["https://twitter.com/u/status/1"] == "https://twitter.com/u/status/1"
+    assert out["https://t.co/abc"] == "https://t.co/abc?expanded"       # expanded
+
+
+def test_fill_missing_dates(spark):
+    df = spark.createDataFrame(
+        [("u1", ""), ("u2", "2021-05-05"), ("u3", None)], "url string, date string"
+    )
+    out = {r["url"]: r["date"] for r in enrich.fill_missing_dates(df).collect()}
+    assert out["u1"] == "1970-01-01" and out["u3"] == "1970-01-01"
+    assert out["u2"] == "2021-05-05"
+
+
+def test_scrape_metadata_resume(spark):
+    df = spark.createDataFrame([("u1",), ("u2",), ("u3",)], "url string")
+    done = spark.createDataFrame([("u1",)], "url string")
+    out = enrich.scrape_metadata(df, done)
+    urls = sorted(r["url"] for r in out.collect())
+    assert urls == ["u2", "u3"]  # u1 skipped (already processed)
+    assert out.collect()[0]["scraped_title"].startswith("title:")
+
+
+def test_plan_pushdown_and_broadcast(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.lit("x").alias("s")
+    ).write.parquet(p)
+    df = spark.read.parquet(p).filter(F.col("k") == 3).select("id")
+    assert plans.has_pushed_filters(df)
+    cols = plans.scan_read_schema(df)
+    assert "s" not in cols  # column pruning reached the scan
+    dim = spark.createDataFrame([(3, "three")], "k long, name string")
+    j = spark.read.parquet(p).join(F.broadcast(dim), "k")
+    assert plans.count_broadcast_joins(j) >= 1
+    assert not plans.has_cartesian(j)
+
+
+def test_streaming_frontier(spark, tmp_path):
+    from post_processor_spark import fixtures, streaming
+    from post_processor_spark.state import SnapshotStore
+
+    docs = fixtures.synthetic_documents(spark, 100, n_hosts=10, seed=5)
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    rows = [
+        {"url": f"https://host{i % 10}.example.com/doc/{i}", "priority": 1, "seq": i}
+        for i in range(20)
+    ]
+    (seed_dir / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    store = SnapshotStore(str(tmp_path / "store"))
+    q = streaming.start_frontier_stream(
+        spark, store, docs, str(seed_dir), str(tmp_path / "ckpt"),
+        budget_per_host=4, use_bloom=False,
+    )
+    q.awaitTermination(120)
+    assert store.current_generation("frontier") >= 1
+    fr = store.read(spark, "frontier")
+    assert fr.filter("status = 'done'").count() > 0
