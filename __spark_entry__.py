@@ -216,7 +216,7 @@ def _q_topk_per_group(spark, sf):
     p = _t(spark, sf, "part")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (
-        p.withColumn("rk", F.row_number().over(w))
+        p.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("p_brand", "rk", "p_partkey", F.round("p_retailprice", 2).alias("price"))
     )
@@ -266,7 +266,7 @@ def _q_regexp_extract(spark, sf):
     c = _t(spark, sf, "customer")
     return (
         c.select(F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"))
-        .groupBy(F.length("digits").alias("n_digits"))
+        .groupBy(F.length("digits").cast("long").alias("n_digits"))
         .agg(F.count("*").alias("n"))
         .orderBy("n_digits")
     )
@@ -333,7 +333,7 @@ def _q_referral_probe(spark, sf):
     agg = edges.groupBy("dst").agg(F.count("*").alias("cnt"))
     return (
         d.join(agg, d.doc_id == agg.dst, "left")
-        .select("doc_id", F.coalesce("cnt", F.lit(0)).alias("n_referrals"))
+        .select("doc_id", F.coalesce("cnt", F.lit(0)).cast("long").alias("n_referrals"))
         .orderBy("doc_id")
     )
 
@@ -371,7 +371,7 @@ def _q_token_stats(spark, sf):
         d.groupBy("lang")
         .agg(
             F.sum(n_tokens).alias("total_tokens"),
-            F.max(n_tokens).alias("max_tokens"),
+            F.max(n_tokens).cast("long").alias("max_tokens"),
             F.count("*").alias("n_docs"),
         )
         .orderBy("lang")
@@ -409,7 +409,7 @@ def _q_ann_cosine(spark, sf):
     dbl = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
     q = dbl.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     topk = similarity.brute_force_topk(dbl, q, k=4, vec_col="embedding")
-    return topk.select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+    return topk.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id").orderBy("query_id", "rank")
 
 
 def _q_url_canon(spark, sf):

@@ -65,7 +65,10 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
         spark, n_urls, n_hosts=max(200, n_urls // 50), mega_host_share=0.3, seed=99
     )
     t0 = time.time()
-    pending = frontier.seeds_to_frontier(seeds)
+    # persist: pending feeds the seen table derivation, the bloom build,
+    # the membership pass, and the politeness windows — uncached, the
+    # canonicalize+dedupe chain re-runs for each
+    pending = frontier.seeds_to_frontier(seeds).persist()
     # seen set: 20% of the hash space pre-seen
     seen_tbl = pending.filter(F.col("seq") % 5 == 0).select(
         "url_hash", "host_hash", F.lit(0).alias("generation")

@@ -53,9 +53,20 @@ def canonicalize_candidates(df: DataFrame) -> DataFrame:
 
 def dedupe_candidates(df: DataFrame) -> DataFrame:
     """First occurrence per url_hash in crawl order (P6 analog, exact,
-    deterministic under parallelism)."""
-    w = Window.partitionBy("url_hash").orderBy(*ORDER_COLS)
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    deterministic under parallelism).
+
+    min_by hash aggregation, not a row_number window: a window needs a
+    full sort within every hash partition; min_by is a partial-aggregating
+    hash agg (map-side combine shrinks the shuffle to one row per distinct
+    url per mapper). The crawl-order tuple is unique, so min_by is
+    deterministic."""
+    cols = df.columns
+    key = F.struct(*[F.col(c) for c in ORDER_COLS])
+    return (
+        df.groupBy("url_hash")
+        .agg(F.min_by(F.struct(*[F.col(c) for c in cols]), key).alias("_r"))
+        .select("_r.*")
+    )
 
 
 def politeness_schedule(
@@ -64,23 +75,46 @@ def politeness_schedule(
     budget_per_host: int = 8,
     crawl_delay_sec: int = 1,
     salt_parts: int = 16,
+    skew_threshold: int | None = None,
 ) -> DataFrame:
     """Tag pending rows: the per-host top-B in crawl order get
     status='scheduled' + a not_before slot; the rest stay 'pending'.
 
+    Skew-adaptive two-phase top-B: hosts with more pending rows than
+    skew_threshold (detected with one cheap hash-agg count) go through a
+    salted pre-rank that caps any single sort partition at ~threshold
+    rows; everyone else gets a single per-host window. Sorting everything
+    twice — the naive always-two-phase plan — costs a full extra sort of
+    the 99% of rows that aren't skewed; always-one-phase serializes the
+    mega-host in one task. The selection is EXACT either way (any global
+    per-host top-B row is in its salt shard's top-B).
+
     Returns the full frame with updated status/not_before/sched_gen."""
+    if skew_threshold is None:
+        skew_threshold = max(budget_per_host * salt_parts, 4096)
+
+    big_hosts = (
+        pending.groupBy("host_hash")
+        .count()
+        .filter(F.col("count") > skew_threshold)
+        .select("host_hash")
+    )
+    norm = pending.join(F.broadcast(big_hosts), "host_hash", "left_anti")
+    big = pending.join(F.broadcast(big_hosts), "host_hash", "left_semi")
+
+    w_host = Window.partitionBy("host_hash").orderBy(*ORDER_COLS)
     salt = F.pmod(F.col("url_hash"), F.lit(salt_parts))
     w_shard = Window.partitionBy("host_hash", salt).orderBy(*ORDER_COLS)
-    w_host = Window.partitionBy("host_hash").orderBy(*ORDER_COLS)
 
-    # persist: `pre` feeds both the survivors branch and the shard
-    # overflow branch of the union; uncached, each branch re-runs the
-    # pending lineage (canonicalize + dedupe + seen filter)
-    pre = pending.withColumn("_shard_rn", F.row_number().over(w_shard)).persist()
+    # skewed hosts: shard pre-rank (persisted — feeds survivors + overflow)
+    pre = big.withColumn("_shard_rn", F.row_number().over(w_shard)).persist()
     survivors = pre.filter(F.col("_shard_rn") <= budget_per_host).drop("_shard_rn")
-    rest_shard = pre.filter(F.col("_shard_rn") > budget_per_host).drop("_shard_rn")
+    shard_overflow = pre.filter(F.col("_shard_rn") > budget_per_host).drop("_shard_rn")
 
-    ranked = survivors.withColumn("_rn", F.row_number().over(w_host))
+    ranked = (
+        norm.withColumn("_rn", F.row_number().over(w_host))
+        .unionByName(survivors.withColumn("_rn", F.row_number().over(w_host)))
+    )
     epoch = _BASE_EPOCH + generation * budget_per_host * crawl_delay_sec
     scheduled = (
         ranked.filter(F.col("_rn") <= budget_per_host)
@@ -93,7 +127,7 @@ def politeness_schedule(
         .drop("_rn")
     )
     overflow = ranked.filter(F.col("_rn") > budget_per_host).drop("_rn")
-    still_pending = overflow.unionByName(rest_shard)
+    still_pending = overflow.unionByName(shard_overflow)
     return scheduled.unionByName(still_pending)
 
 

@@ -33,6 +33,11 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(8, ncores)
 
+    # local-mode shuffle goes through spark.local.dir; on this box a
+    # disk-backed /tmp serializes the 32-thread run on I/O — use the RAM
+    # disk when present (a real cluster would put this on NVMe)
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -43,10 +48,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the cluster memory — size it for
+        # 32 concurrent task sort buffers + cached frames (box has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -132,3 +132,21 @@ def write_json(df: DataFrame, path: str) -> None:
 def write_parquet(df: DataFrame, path: str) -> None:
     """S5."""
     df.write.mode("overwrite").parquet(path)
+
+
+def reshape_hit_record(normalized_tweets: DataFrame) -> DataFrame:
+    """P22: the Mini-Processor 'Hit Record' layout
+    (archived/Mini-Processor.py:35-58) — pure projection with literal
+    source injection ('@'+handle)."""
+    return normalized_tweets.select(
+        F.col("url").alias("URL to article/Tweet"),
+        F.when(
+            F.col("domain").startswith("@"), F.col("domain")
+        ).otherwise(F.concat(F.lit("@"), F.col("domain"))).alias("Source"),
+        F.lit("Twitter Handle").alias("Hit Type"),
+        F.col("author").alias("Authors"),
+        F.col("article_text").alias("Plain Text of Article or Tweet"),
+        F.col("date").alias("Date"),
+        F.col("mentions").alias("Mentions"),
+        F.col("found_urls").alias("Found URL"),
+    )
