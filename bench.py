@@ -75,7 +75,7 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
     )
     unseen = seen_mod.filter_unseen(pending, seen_tbl, use_bloom=True)
     scheduled = frontier.politeness_schedule(
-        unseen, generation=1, budget_per_host=64, salt_parts=16
+        unseen, generation=1, budget_per_host=64, salt_parts=64
     ).filter(F.col("status") == "scheduled")
     n_scheduled = scheduled.count()
     dt = time.time() - t0
@@ -89,7 +89,7 @@ def main() -> None:
     from post_processor_spark.session import get_spark
     import __spark_entry__ as e
 
-    spark = get_spark(cores=cpus, app_name="bench", shuffle_partitions=cpus)
+    spark = get_spark(cores=cpus, app_name="bench", shuffle_partitions=cpus * 2)
     qs = e.queries()
 
     times: dict[str, float] = {}
