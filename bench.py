@@ -64,6 +64,7 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
     seeds = fixtures.synthetic_seed_frontier(
         spark, n_urls, n_hosts=max(200, n_urls // 50), mega_host_share=0.3, seed=99
     )
+    spark.catalog.clearCache()  # reps must not inherit prior caches
     t0 = time.time()
     # persist: pending feeds the seen table derivation, the bloom build,
     # the membership pass, and the politeness windows — uncached, the
@@ -73,12 +74,19 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
     seen_tbl = pending.filter(F.col("seq") % 5 == 0).select(
         "url_hash", "host_hash", F.lit(0).alias("generation")
     )
-    unseen = seen_mod.filter_unseen(pending, seen_tbl, use_bloom=True)
+    # materialize: politeness consumes `unseen` three times (skew census +
+    # norm/big splits) — uncached, the whole bloom+anti-join chain re-runs
+    # for each consumer
+    unseen = seen_mod.filter_unseen(
+        pending, seen_tbl, use_bloom=True, materialize=True
+    )
     scheduled = frontier.politeness_schedule(
         unseen, generation=1, budget_per_host=64, salt_parts=64
     ).filter(F.col("status") == "scheduled")
     n_scheduled = scheduled.count()
     dt = time.time() - t0
+    pending.unpersist()
+    unseen.unpersist()
     return n_scheduled / dt, n_scheduled
 
 

@@ -111,24 +111,35 @@ def politeness_schedule(
     survivors = pre.filter(F.col("_shard_rn") <= budget_per_host).drop("_shard_rn")
     shard_overflow = pre.filter(F.col("_shard_rn") > budget_per_host).drop("_shard_rn")
 
-    ranked = (
-        norm.withColumn("_rn", F.row_number().over(w_host))
-        .unionByName(survivors.withColumn("_rn", F.row_number().over(w_host)))
+    # ONE per-host window over norm ∪ survivors (a host lives entirely in
+    # one branch, so the union doesn't mix orderings), then status derived
+    # with when() — not filter+union, which would run the window sort once
+    # per branch when the full frame is consumed.
+    ranked = norm.unionByName(survivors).withColumn(
+        "_rn", F.row_number().over(w_host)
     )
     epoch = _BASE_EPOCH + generation * budget_per_host * crawl_delay_sec
-    scheduled = (
-        ranked.filter(F.col("_rn") <= budget_per_host)
-        .withColumn("status", F.lit("scheduled"))
-        .withColumn("sched_gen", F.lit(generation))
+    is_sched = F.col("_rn") <= budget_per_host
+    decided = (
+        ranked.withColumn(
+            "status", F.when(is_sched, F.lit("scheduled")).otherwise(F.col("status"))
+        )
+        .withColumn(
+            "sched_gen",
+            F.when(is_sched, F.lit(generation)).otherwise(F.col("sched_gen")),
+        )
         .withColumn(
             "not_before",
-            F.timestamp_seconds(F.lit(epoch) + (F.col("_rn") - 1) * crawl_delay_sec),
+            F.when(
+                is_sched,
+                F.timestamp_seconds(
+                    F.lit(epoch) + (F.col("_rn") - 1) * crawl_delay_sec
+                ),
+            ).otherwise(F.col("not_before")),
         )
         .drop("_rn")
     )
-    overflow = ranked.filter(F.col("_rn") > budget_per_host).drop("_rn")
-    still_pending = overflow.unionByName(shard_overflow)
-    return scheduled.unionByName(still_pending)
+    return decided.unionByName(shard_overflow)
 
 
 def extract_outlinks(documents: DataFrame) -> DataFrame:
@@ -185,7 +196,10 @@ def run_generation(
     frontier = store.read(spark, "frontier").select(*FRONTIER_COLS)
     seen = store.read(spark, "seen")
 
-    pending = frontier.filter(F.col("status") == "pending")
+    # persist: politeness consumes pending three times (skew census +
+    # norm/big splits) and the count makes four — uncached that's four
+    # snapshot re-reads
+    pending = frontier.filter(F.col("status") == "pending").persist()
     done_rows = frontier.filter(F.col("status") != "pending")
     rows_in = pending.count()
 
@@ -216,9 +230,10 @@ def run_generation(
     )
     discovered = dedupe_candidates(canonicalize_candidates(discovered)).select(
         *FRONTIER_COLS
-    )
+    ).persist()
     n_discovered = discovered.count()
-    new_rows = filter_unseen(discovered, seen, use_bloom=use_bloom).select(*FRONTIER_COLS)
+    new_base = filter_unseen(discovered, seen, use_bloom=use_bloom, materialize=True)
+    new_rows = new_base.select(*FRONTIER_COLS)
 
     # scheduled rows are fetched within the generation → status done
     finished = scheduled.withColumn("status", F.lit("done"))
@@ -259,7 +274,8 @@ def run_generation(
         else None
     )
     store.write("metrics", metrics if prev is None else prev.unionByName(metrics), generation)
-    updated.unpersist()
+    for h in (updated, pending, discovered, new_base):
+        h.unpersist()
     return {
         "generation": generation,
         "rows_in": rows_in,

@@ -191,13 +191,27 @@ def filter_unseen(
     n_buckets: int = 64,
     bits_per_bucket: int = 1 << 20,
     mode: str = "auto",
+    materialize: bool = False,
 ) -> DataFrame:
     """Rows of `candidates` whose url_hash is not in `seen`.
 
     Bloom path: definitely-unseen rows bypass the exact join; maybe-seen
-    rows get the exact left_anti (resolves bloom false positives)."""
+    rows get the exact left_anti (resolves bloom false positives).
+
+    materialize=True: persist + force the RESULT, then release the
+    intermediate cache. Use when the caller consumes the result more than
+    once (count + snapshot writes) — uncached, each consumer re-runs the
+    candidate lineage and the membership pass. Caller owns unpersist() of
+    the returned frame."""
+    # NOTE: no .distinct() on the seen side — left_anti semantics ignore
+    # duplicate matches, and a distinct would shuffle the full seen table
+    # (10^10 rows at target scale) before every generation's join.
     if not use_bloom:
-        return candidates.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+        out = candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+        if materialize:
+            out = out.persist()
+            out.count()
+        return out
     bloom = build_bloom(seen, n_buckets, bits_per_bucket)
     # persist: both branches (definitely-unseen ∪ resolved-maybe) consume
     # `tagged`; without a cache each union branch re-runs the candidate
@@ -207,5 +221,10 @@ def filter_unseen(
     ).persist()
     definitely_unseen = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    resolved = maybe.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
-    return definitely_unseen.unionByName(resolved)
+    resolved = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+    out = definitely_unseen.unionByName(resolved)
+    if materialize:
+        out = out.persist()
+        out.count()
+        tagged.unpersist()
+    return out
