@@ -3,9 +3,11 @@
 entry(spark): flagship citation/frontier pipeline on sf0.001.
 queries(): one entry per implemented operator family from SURVEY.md §2 +
 the training-data operators (dedup / similarity / text / multimodal).
-oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query;
-non-SQL-expressible ops (pattern kernels, frontier scheduling, media
-stubs, LSH internals) are rows-only per the driver contract.
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query —
+including the frontier scheduler and bloom seen-filter, whose salted /
+bloom-bypass physical strategies produce exactly-SQL-expressible results.
+Only hash-implementation-specific ops (minhash/simhash signatures) and
+stubbed media decode are rows-only.
 
 Column-name parity rule: every computed column is aliased identically in
 the Spark plan and the SQL text.
@@ -463,30 +465,60 @@ def _q_scope_gate(spark, sf):
     )
 
 
+def _frontier_seed_docs(spark, sf):
+    """Deterministic, SQL-reproducible seed frontier derived from the
+    documents table: ~30% of URLs land on mega-host0 (exercises the salted
+    two-phase top-B), the rest spread over 97 hosts. Pure arithmetic so the
+    DuckDB oracle can regenerate the identical input."""
+    d = _t(spark, sf, "documents")
+    host_id = F.when(F.col("doc_id") % 10 < 3, F.lit(0)).otherwise(F.col("doc_id") % 97)
+    url = F.concat(
+        F.lit("https://host"), host_id.cast("string"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        url.alias("url"),
+        ((F.col("doc_id") * 13) % 10).cast("int").alias("priority"),
+        F.col("doc_id").alias("seq"),
+    )
+
+
 def _q_frontier_schedule(spark, sf):
-    from post_processor_spark import fixtures
-    seeds = fixtures.synthetic_seed_frontier(spark, 20000, n_hosts=200, mega_host_share=0.5, seed=13)
+    """Politeness top-B per host in crawl order (priority, seq) with slot
+    timestamps — ORACLE-CHECKED: the salted two-phase selection and slot
+    assignment are optimizations whose result is exactly the per-host
+    window row_number() <= B, which DuckDB can express directly.
+    skew_threshold=50 forces the mega-host through the salted path."""
+    seeds = _frontier_seed_docs(spark, sf)
     pending = frontier.seeds_to_frontier(seeds)
     return (
-        frontier.politeness_schedule(pending, generation=1, budget_per_host=8)
+        frontier.politeness_schedule(
+            pending, generation=1, budget_per_host=8, skew_threshold=50
+        )
         .filter(F.col("status") == "scheduled")
-        .groupBy("host")
-        .agg(F.count("*").alias("n_scheduled"))
-        .orderBy("host")
+        .select("url", "host", "not_before")
+        .orderBy("url")
     )
 
 
 def _q_seen_filter(spark, sf):
-    from post_processor_spark import fixtures, seen as seen_mod
+    """Bloom-prefiltered + exact-resolved URL-seen filter — ORACLE-CHECKED:
+    the bloom is a bypass optimization; the result must equal the plain
+    anti-join complement (seq % 3 != 0 here)."""
+    from post_processor_spark import seen as seen_mod
     cands = frontier.canonicalize_candidates(
-        fixtures.synthetic_seed_frontier(spark, 20000, n_hosts=100, seed=17)
+        _frontier_seed_docs(spark, sf)
         .withColumn("generation", F.lit(0))
         .withColumn("sub", F.lit(0).cast("long"))
     )
     seen_tbl = cands.filter(F.col("seq") % 3 == 0).select(
         "url_hash", "host_hash", F.lit(0).alias("generation")
     )
-    return seen_mod.filter_unseen(cands, seen_tbl, use_bloom=True).select("url", "url_hash")
+    return (
+        seen_mod.filter_unseen(cands, seen_tbl, use_bloom=True)
+        .select("url")
+        .orderBy("url")
+    )
 
 
 def _q_minhash_candidates(spark, sf):
@@ -555,9 +587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_cosine": _q_ann_cosine,
         "q_record_dedup_desc": _q_record_dedup_desc,
         "q_scope_gate": _q_scope_gate,
-        # rows-only (non-SQL-expressible)
+        # frontier core (oracle-checked: results are exact windows/anti-joins)
         "q_frontier_schedule": _q_frontier_schedule,
         "q_seen_filter": _q_seen_filter,
+        # rows-only (non-SQL-expressible)
         "q_minhash_candidates": _q_minhash_candidates,
         "q_simhash": _q_simhash,
         "q_media_features": _q_media_features,
@@ -800,6 +833,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d,
                  LATERAL (SELECT unnest(generate_series(1, CAST(d.doc_id % 4 AS BIGINT))) AS k) k
             ORDER BY parent_seq, sub
+        """,
+        "q_frontier_schedule": """
+            WITH seeds AS (
+              SELECT 'https://host'
+                       || CAST(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
+                       || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     'host' || CAST(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
+                       || '.example.com' AS host,
+                     (doc_id * 13) % 10 AS priority,
+                     doc_id AS seq
+              FROM documents
+            ),
+            ranked AS (
+              SELECT url, host,
+                     row_number() OVER (PARTITION BY host ORDER BY priority, seq) AS rn
+              FROM seeds
+            )
+            SELECT url, host,
+                   make_timestamp((1700000008 + (rn - 1)) * 1000000) AS not_before
+            FROM ranked WHERE rn <= 8 ORDER BY url
+        """,
+        "q_seen_filter": """
+            SELECT 'https://host'
+                     || CAST(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
+                     || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE doc_id % 3 <> 0 ORDER BY url
         """,
         "q_ann_cosine": """
             SELECT query_id, rank, neighbor_id FROM (

@@ -9,7 +9,7 @@ physical cores (raw ceiling ~0.93 measured), so local[4] vs local[16] is
 the honest N→4N proxy; the calibration numbers are reported alongside.
 
 Runs the frontier-scheduling throughput job in fresh subprocess JVMs at
-both parallelism levels (warm-up pass + best-of-2 measured reps each)
+both parallelism levels (warm-up pass + best-of-3 measured reps each)
 and writes BENCH/BASELINE.md.
 
 Usage: python scripts_spark/scaling_bench.py [n_urls]
@@ -36,7 +36,7 @@ cores = int(sys.argv[1]); n_urls = int(sys.argv[2])
 spark = get_spark(cores=cores, app_name=f"scaling-{cores}", shuffle_partitions=cores*2)
 frontier_throughput(spark, 50000)   # warm-up: JVM, codegen, python workers
 best = {"rate": 0.0, "scheduled": 0}
-for _ in range(2):
+for _ in range(3):
     rate, n = frontier_throughput(spark, n_urls)
     if rate > best["rate"]:
         best = {"rate": rate, "scheduled": n}
@@ -91,7 +91,7 @@ scheduling job — seeds → canonicalize → in-batch dedupe → partitioned-
 bloom + exact seen filter → skew-adaptive salted per-host politeness
 top-B — at local[{N_LO}] vs local[{N_HI}] on the same {n_urls:,}-URL
 input (30% of URLs on one mega-host), fresh JVM each, warm-up pass +
-best-of-2 measured reps.
+best-of-3 measured reps.
 
 Hardware calibration: nproc reports 32, but a pure-CPU multiprocessing
 busy-loop scales 8→32 at only ~0.72 (SMT threads, ~16 physical cores);
