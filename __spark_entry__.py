@@ -414,6 +414,42 @@ def _q_ann_cosine(spark, sf):
     return topk.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id").orderBy("query_id", "rank")
 
 
+def _q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs (training-data dedup op): exact
+    baseline, id_a < id_b, cosine >= 0.35 (the synthetic embeddings are
+    near-orthogonal; 0.35 yields a non-vacuous pair set)."""
+    e = _t(spark, sf, "embeddings")
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pairs = dedup.embedding_neardup_pairs(dbl, threshold=0.35)
+    return (
+        pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_interest_ranking(spark, sf):
+    """A5: hit-count ranking of the referral output (archived
+    processor.py:943) — docs ordered by referral count desc, url asc."""
+    from post_processor_spark import citations
+    d = _t(spark, sf, "documents")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(_seq1((F.col("doc_id") % 4).cast("int"))).alias("k"),
+    ).select("src", ((F.col("src") * 7 + F.col("k")) % n).alias("dst"))
+    agg = edges.groupBy("dst").agg(F.count("*").alias("cnt"))
+    out = (
+        d.join(agg, d.doc_id == agg.dst, "left")
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("number_of_referrals"),
+        )
+    )
+    return citations.interest_ranking(out).limit(30)
+
+
 def _q_url_canon(spark, sf):
     """Canonicalization parity: synthesize URLs from customer names and
     canonicalize — host/registrable-domain derivation checked in SQL."""
@@ -585,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": _q_lang_id,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_ann_cosine": _q_ann_cosine,
+        "q_embedding_neardup": _q_embedding_neardup,
+        "q_interest_ranking": _q_interest_ranking,
         "q_record_dedup_desc": _q_record_dedup_desc,
         "q_scope_gate": _q_scope_gate,
         # frontier core (oracle-checked: results are exact windows/anti-joins)
@@ -833,6 +871,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d,
                  LATERAL (SELECT unnest(generate_series(1, CAST(d.doc_id % 4 AS BIGINT))) AS k) k
             ORDER BY parent_seq, sub
+        """,
+        "q_embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "q_interest_ranking": _EDGES_CTE + """
+            SELECT CAST(d.doc_id AS VARCHAR) AS url,
+                   coalesce(a.cnt, 0) AS number_of_referrals
+            FROM documents d
+            LEFT JOIN (SELECT dst, count(*) AS cnt FROM edges GROUP BY dst) a
+              ON d.doc_id = a.dst
+            ORDER BY number_of_referrals DESC, url LIMIT 30
         """,
         "q_frontier_schedule": """
             WITH seeds AS (

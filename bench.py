@@ -44,7 +44,9 @@ HEADLINE_QUERIES = [
     "q_seen_filter",
 ]
 
-FRONTIER_N_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "500000"))
+# 2M seeds: large enough that fixed per-job overhead (planning, bloom
+# broadcast, Python worker spin-up) stops dominating the measured rate
+FRONTIER_N_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "2000000"))
 
 
 def _force(df) -> int:

@@ -178,3 +178,37 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine) — exact embedding-cosine near-duplicate pairs
+    with id_a < id_b and cosine >= threshold.
+
+    This is the exact baseline (self-join bounded by the id_a < id_b
+    predicate). At corpus scale, prune candidates first with the
+    hyperplane-LSH buckets in `similarity` (same signature → same
+    bucket → same candidate pair set at high thresholds), then verify
+    pairs with this exact cosine.
+    """
+    from . import similarity
+
+    # pre-normalize ONCE per vector — computing cosine per pair would
+    # re-derive both norms n^2 times
+    norm = similarity._norm(F.col(vec_col))
+    unit = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x / norm).alias("_unit"),
+    )
+    a = unit.select(F.col("_id").alias("id_a"), F.col("_unit").alias("_va"))
+    b = unit.select(F.col("_id").alias("id_b"), F.col("_unit").alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = similarity._dot(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -11,9 +11,11 @@ Design:
   canonical URLs makes the seen set hash-keyed per the north_rule; at
   10^10 keys the expected number of 64-bit collisions is ~3 (birthday
   bound) — a false "seen" drops a URL, which crawl semantics tolerate.
-- bloom pre-filter = bitmaps SHARDED BY host-hash bucket, built
-  distributively (applyInPandas per bucket, numpy bit-ops — no driver
-  collection), carried as a tiny DataFrame (bucket, bitmap) and
+- bloom pre-filter = bitmaps SHARDED BY url-hash bucket (uniform by
+  construction — host-hash bucketing would concentrate a mega-host's
+  keys in one bucket, making its build task hot and its FPR balloon),
+  built distributively (applyInPandas per bucket, numpy bit-ops — no
+  driver collection), carried as a tiny DataFrame (bucket, bitmap) and
   broadcast-joined onto candidates. Candidates whose bloom says
   "definitely unseen" skip the exact anti-join entirely; only
   "maybe seen" rows (true positives + FPs) hit the exact join. At
@@ -49,6 +51,18 @@ def _positions(url_hash: np.ndarray, k: int, m: int) -> np.ndarray:
     return ((h1 + i * h2) % np.uint64(m)).astype(np.int64)
 
 
+def _bucket_col(n_buckets: int):
+    """Uniform bucket from url_hash's HIGH 32 bits. High bits are
+    independent of the double-hash position arithmetic (whose low-20-bit
+    values depend only on the key's low bits), so conditioning on the
+    bucket doesn't constrain which bitmap slots a key can hit — low-bit
+    bucketing would concentrate h1 positions on 1/n_buckets of each
+    bitmap."""
+    return F.pmod(F.shiftrightunsigned(F.col("url_hash"), 32), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
 def build_bloom(
     seen: DataFrame, n_buckets: int = 64, bits_per_bucket: int = 1 << 20, k: int = 5
 ) -> DataFrame:
@@ -72,9 +86,7 @@ def build_bloom(
             T.StructField("bitmap", T.BinaryType()),
         ]
     )
-    with_bucket = seen.withColumn(
-        "bucket", F.pmod(F.col("host_hash"), F.lit(n_buckets)).cast("int")
-    )
+    with_bucket = seen.withColumn("bucket", _bucket_col(n_buckets))
     return with_bucket.select("bucket", "url_hash").groupBy("bucket").applyInPandas(
         agg, schema=schema
     )
@@ -116,7 +128,7 @@ def bloom_filter_candidates(
       join-back on url_hash. Each executor only ever holds the shards it
       processes."""
     m = bits_per_bucket
-    bucket_col = F.pmod(F.col("host_hash"), F.lit(n_buckets)).cast("int")
+    bucket_col = _bucket_col(n_buckets)
 
     if mode == "auto":
         mode = "broadcast" if n_buckets * (m // 8) <= 256 * (1 << 20) else "cogroup"
