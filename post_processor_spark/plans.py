@@ -31,12 +31,21 @@ def scan_read_schema(df: DataFrame) -> list[str]:
     return cols
 
 
+def _count_nodes(df: DataFrame, op: str) -> int:
+    """Count physical operators by their detail-section header `(N) Op` —
+    the formatted plan prints every node twice (tree + detail), so a raw
+    substring count double-counts."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {op}\b", physical_plan(df), re.MULTILINE))
+
+
 def count_broadcast_joins(df: DataFrame) -> int:
-    return physical_plan(df).count("BroadcastHashJoin")
+    return _count_nodes(df, "BroadcastHashJoin")
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return physical_plan(df).count("Exchange")
+    return _count_nodes(df, "Exchange")
 
 
 def has_cartesian(df: DataFrame) -> bool:
@@ -45,4 +54,10 @@ def has_cartesian(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    return physical_plan(df).count("WholeStageCodegen")
+    """Number of distinct whole-stage-codegen regions. The formatted
+    explain annotates member nodes with `[codegen id : N]` (the string
+    'WholeStageCodegen' only appears in treeString mode)."""
+    import re
+
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", physical_plan(df)))
+    return len(ids)

@@ -60,7 +60,9 @@ def raw_cpu_rate(workers: int, per_task: int = 4_000_000, tasks: int = 64) -> fl
 
 
 def run_at(cores: int, n_urls: int) -> dict:
-    env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    # same heap at BOTH parallelism levels (a real cluster scales memory
+    # with executors; a GC-bound heap would corrupt the comparison)
+    env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "32g"))
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cores), str(n_urls)],
         capture_output=True, text=True, env=env,
