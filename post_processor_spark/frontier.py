@@ -162,16 +162,28 @@ def extract_outlinks(documents: DataFrame) -> DataFrame:
     )
 
 
+_DEDUP_COLS = [
+    "url", "canonical_url", "url_hash", "host", "host_hash",
+    "priority", "generation", "seq", "sub",
+]
+
+
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
-    """(url, priority, seq) → generation-0 pending frontier rows."""
-    base = (
-        seeds.withColumn("generation", F.lit(0))
-        .withColumn("sub", F.lit(0).cast("long"))
+    """(url, priority, seq) → generation-0 pending frontier rows.
+
+    Constant columns (status/not_before/sched_gen) are attached AFTER the
+    dedupe — shuffling them through the min_by aggregation is pure
+    payload; same for registrable_domain, which the frontier never uses."""
+    base = seeds.withColumn("generation", F.lit(0)).withColumn(
+        "sub", F.lit(0).cast("long")
+    )
+    slim = canonicalize_candidates(base).select(*_DEDUP_COLS)
+    return (
+        dedupe_candidates(slim)
         .withColumn("status", F.lit("pending"))
         .withColumn("not_before", F.lit(None).cast("timestamp"))
         .withColumn("sched_gen", F.lit(None).cast("int"))
     )
-    return dedupe_candidates(canonicalize_candidates(base))
 
 
 FRONTIER_COLS = [
@@ -224,13 +236,16 @@ def run_generation(
         .withColumn("generation", F.lit(generation))
         .withColumn("seq", F.col("parent_seq"))
         .drop("parent_seq")
+    )
+    # constants attached after the dedupe shuffle (see seeds_to_frontier)
+    discovered = (
+        dedupe_candidates(canonicalize_candidates(discovered).select(*_DEDUP_COLS))
         .withColumn("status", F.lit("pending"))
         .withColumn("not_before", F.lit(None).cast("timestamp"))
         .withColumn("sched_gen", F.lit(None).cast("int"))
+        .select(*FRONTIER_COLS)
+        .persist()
     )
-    discovered = dedupe_candidates(canonicalize_candidates(discovered)).select(
-        *FRONTIER_COLS
-    ).persist()
     n_discovered = discovered.count()
     new_base = filter_unseen(discovered, seen, use_bloom=use_bloom, materialize=True)
     new_rows = new_base.select(*FRONTIER_COLS)
@@ -242,12 +257,14 @@ def run_generation(
         .unionByName(updated.filter(F.col("status") == "pending"))
         .unionByName(new_rows)
     )
-    next_seen = seen.unionByName(
-        new_rows.select("url_hash", "host_hash", F.lit(generation).alias("generation"))
-    )
-
     store.write("frontier", next_frontier, generation)
-    store.write("seen", next_seen, generation)
+    # seen is append-mode: write only this generation's delta — a full
+    # rewrite is O(seen) I/O per generation (fatal at 10^10 keys)
+    store.write_append(
+        "seen",
+        new_rows.select("url_hash", "host_hash", F.lit(generation).alias("generation")),
+        generation,
+    )
 
     n_scheduled = scheduled.count()
     n_new = new_rows.count()
@@ -268,12 +285,7 @@ def run_generation(
         "generation int, partition_id int, rows_in long, rows_out long,"
         " scheduled long, filtered_seen long, wall_ms long",
     )
-    prev = (
-        store.read(spark, "metrics")
-        if store.current_generation("metrics") is not None
-        else None
-    )
-    store.write("metrics", metrics if prev is None else prev.unionByName(metrics), generation)
+    store.write_append("metrics", metrics, generation)
     for h in (updated, pending, discovered, new_base):
         h.unpersist()
     return {
@@ -292,7 +304,7 @@ def bootstrap(
     """Generation 0: seed the frontier + seen set."""
     fr = seeds_to_frontier(seeds).select(*FRONTIER_COLS)
     store.write("frontier", fr, 0)
-    store.write(
+    store.write_append(
         "seen",
         fr.select("url_hash", "host_hash", F.lit(0).alias("generation")),
         0,

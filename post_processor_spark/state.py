@@ -20,12 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotStore:
-    """Versioned parquet tables under root/: <table>/gen=<n>/ + manifest.
+    """Versioned parquet tables under root/: <table>/gen=<n>.<k>/ dirs
+    referenced by a manifest (Iceberg manifest pattern). Two table modes:
+    snapshot (each generation dir is the full table) and append (each
+    generation dir is a delta; reads union all deltas <= generation).
 
-    Commit protocol: write parquet dir for the new generation, then
-    atomically replace manifest.json (tmp + rename). A crash between the
-    two leaves the previous manifest pointing at the previous snapshot —
-    exact resume semantics.
+    Commit protocol: write a FRESH parquet dir, then atomically replace
+    manifest.json (tmp + rename). A crash between the two leaves the
+    previous manifest pointing at the previous snapshot — exact resume
+    semantics. Dirs are never overwritten, so lazy readers of the old
+    version stay valid during a rewrite.
     """
 
     def __init__(self, root: str):
@@ -36,8 +40,17 @@ class SnapshotStore:
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "manifest.json")
 
-    def _table_dir(self, table: str, generation: int) -> str:
-        return os.path.join(self.root, table, f"gen={generation}")
+    def _new_dir(self, manifest: dict, table: str, generation: int) -> str:
+        """Fresh, never-reused directory for one write: gen=<g>.<k>.
+        Writes NEVER overwrite an existing dir — a same-generation rewrite
+        while a reader holds a lazy plan over the old dir would otherwise
+        destroy the data under it. Old dirs are simply unreferenced by the
+        manifest (Iceberg-style; GC is a separate concern)."""
+        t = manifest["tables"].setdefault(
+            table, {"current": None, "history": [], "mode": None, "dirs": {}}
+        )
+        k = sum(len(ds) for ds in t["dirs"].values())  # monotone → unique
+        return os.path.join(self.root, table, f"gen={generation}.{k}")
 
     # ---------------------------------------------------------- manifest
     def _read_manifest(self) -> dict:
@@ -55,10 +68,36 @@ class SnapshotStore:
 
     # --------------------------------------------------------------- api
     def write(self, table: str, df: DataFrame, generation: int) -> None:
-        path = self._table_dir(table, generation)
-        df.write.mode("overwrite").parquet(path)
+        """Full-snapshot write: generation dir holds the complete table."""
+        self._write(table, df, generation, mode="snapshot")
+
+    def write_append(self, table: str, df: DataFrame, generation: int) -> None:
+        """Append-table write: generation dir holds only this generation's
+        DELTA rows; read() returns the union of all deltas <= generation.
+        This is the Iceberg append pattern — essential for monotone tables
+        (seen set, metrics/lineage): a full rewrite would cost O(table)
+        I/O per generation, which at a 10^10-row seen set is the whole
+        job's budget."""
+        self._write(table, df, generation, mode="append")
+
+    def _write(self, table: str, df: DataFrame, generation: int, mode: str) -> None:
         manifest = self._read_manifest()
-        t = manifest["tables"].setdefault(table, {"current": None, "history": []})
+        t = manifest["tables"].setdefault(
+            table, {"current": None, "history": [], "mode": mode, "dirs": {}}
+        )
+        if t.get("mode") is None:
+            t["mode"] = mode
+        if t["mode"] != mode:
+            raise ValueError(
+                f"table {table!r} is {t['mode']}-mode; cannot {mode}-write"
+            )
+        path = self._new_dir(manifest, table, generation)
+        df.write.mode("overwrite").parquet(path)
+        g = str(generation)
+        if mode == "snapshot":
+            t["dirs"][g] = [path]  # replaces the reference, not the old dir
+        else:
+            t["dirs"].setdefault(g, []).append(path)
         t["current"] = generation
         if generation not in t["history"]:
             t["history"].append(generation)
@@ -74,7 +113,16 @@ class SnapshotStore:
         gen = t["current"] if generation is None else generation
         if gen not in t["history"]:
             raise FileNotFoundError(f"table {table!r} has no generation {gen}")
-        return spark.read.parquet(self._table_dir(table, gen))
+        if t.get("mode", "snapshot") == "append":
+            paths = [
+                p
+                for g in sorted(t["history"])
+                if g <= gen
+                for p in t["dirs"][str(g)]
+            ]
+        else:
+            paths = t["dirs"][str(gen)]
+        return spark.read.parquet(*paths)
 
     def current_generation(self, table: str) -> int | None:
         t = self._read_manifest()["tables"].get(table)

@@ -52,13 +52,15 @@ def start_frontier_stream(
             new_rows = frontier.seeds_to_frontier(batch_df).select(*frontier.FRONTIER_COLS)
             current = store.read(spark, "frontier").select(*frontier.FRONTIER_COLS)
             seen = store.read(spark, "seen")
-            unseen_new = new_rows.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+            unseen_new = new_rows.join(seen.select("url_hash"), "url_hash", "left_anti")
+            # versioned dirs make the same-generation rewrite safe: the
+            # new frontier snapshot is written to a fresh dir while the
+            # lazy `current` plan still reads the old one
             store.write("frontier", current.unionByName(unseen_new.select(*frontier.FRONTIER_COLS)), gen_now)
-            store.write(
+            # seen is append-mode: only the delta is written
+            store.write_append(
                 "seen",
-                seen.unionByName(
-                    unseen_new.select("url_hash", "host_hash", F.lit(gen_now).alias("generation"))
-                ),
+                unseen_new.select("url_hash", "host_hash", F.lit(gen_now).alias("generation")),
                 gen_now,
             )
         frontier.run_generation(spark, store, documents, gen_now + 1, **sched_kwargs)

@@ -59,6 +59,26 @@ def raw_cpu_rate(workers: int, per_task: int = 4_000_000, tasks: int = 64) -> fl
         return tasks * per_task / (time.time() - t0)
 
 
+def _burn_bw(n: int) -> float:
+    import numpy as np
+
+    a = np.zeros(8_000_000)  # 64 MB — exceeds LLC, forces DRAM traffic
+    s = 0.0
+    for _ in range(n):
+        s += a.copy()[0]
+    return s
+
+
+def raw_bw_rate(workers: int, reps: int = 6) -> float:
+    """GB/s of streaming copy — the bandwidth-bound scaling ceiling.
+    Shuffle-heavy Spark stages sit between this and the CPU ceiling."""
+    tasks = workers * 2
+    with mp.Pool(workers) as p:
+        t0 = time.time()
+        p.map(_burn_bw, [reps] * tasks)
+        return tasks * reps * 128e6 / (time.time() - t0) / 1e9
+
+
 def run_at(cores: int, n_urls: int) -> dict:
     # same heap at BOTH parallelism levels (a real cluster scales memory
     # with executors; a GC-bound heap would corrupt the comparison)
@@ -76,10 +96,13 @@ def run_at(cores: int, n_urls: int) -> dict:
 
 
 def main() -> None:
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     raw_lo = raw_cpu_rate(N_LO)
     raw_hi = raw_cpu_rate(N_HI)
     raw_eff = (raw_hi / raw_lo) / (N_HI / N_LO)
+    bw_lo = raw_bw_rate(N_LO)
+    bw_hi = raw_bw_rate(N_HI)
+    bw_eff = (bw_hi / bw_lo) / (N_HI / N_LO)
     lo = run_at(N_LO, n_urls)
     hi = run_at(N_HI, n_urls)
     eff = (hi["rate"] / lo["rate"]) / (N_HI / N_LO)
@@ -95,19 +118,30 @@ top-B — at local[{N_LO}] vs local[{N_HI}] on the same {n_urls:,}-URL
 input (30% of URLs on one mega-host), fresh JVM each, warm-up pass +
 best-of-3 measured reps.
 
-Hardware calibration: nproc reports 32, but a pure-CPU multiprocessing
-busy-loop scales 8→32 at only ~0.72 (SMT threads, ~16 physical cores);
-{N_LO}→{N_HI} stays within physical cores with a measured raw ceiling of
-{raw_eff:.3f}. The Spark efficiency below is therefore measured on the
-{N_LO}→{N_HI} pair and should be read against that ceiling.
+Hardware calibration (this box, measured fresh each run): nproc reports
+32 but the cores are SMT threads of ~16 physical cores, and — decisive
+for a shuffle engine — all {N_HI} workers share ONE memory controller:
 
-| config | raw-CPU ops/s (calibration) | scheduled URLs | URLs scheduled/sec |
+| ceiling | {N_LO} workers | {N_HI} workers | {N_LO}→{N_HI} efficiency |
 |---|---|---|---|
-| local[{N_LO}]  (N)  | {raw_lo/1e6:,.1f}M | {lo['scheduled']:,} | {lo['rate']:,.1f} |
-| local[{N_HI}] (4N) | {raw_hi/1e6:,.1f}M | {hi['scheduled']:,} | {hi['rate']:,.1f} |
+| CPU-bound (int busy-loop) | {raw_lo/1e6:,.1f}M ops/s | {raw_hi/1e6:,.1f}M ops/s | {raw_eff:.3f} |
+| DRAM-bandwidth-bound (64MB streaming copy) | {bw_lo:.1f} GB/s | {bw_hi:.1f} GB/s | {bw_eff:.3f} |
+
+A shuffle-heavy job mixes both profiles, so its achievable ceiling on
+this box lies BETWEEN {bw_eff:.3f} and {raw_eff:.3f}. On a real cluster
+the N→4N criterion adds a memory controller with every node — the
+single-box proxy structurally understates it; what the proxy does verify
+is the plan-level property we control: no stage serializes on the skewed
+mega-host and no partition is hot.
+
+| config | scheduled URLs | URLs scheduled/sec |
+|---|---|---|
+| local[{N_LO}]  (N)  | {lo['scheduled']:,} | {lo['rate']:,.1f} |
+| local[{N_HI}] (4N) | {hi['scheduled']:,} | {hi['rate']:,.1f} |
 
 **Spark scaling efficiency (rate_4N / rate_N) / 4 = {eff:.3f}**
-(raw-CPU ceiling on this pair: {raw_eff:.3f})
+(ceiling envelope on this pair: {bw_eff:.3f} bandwidth-bound …
+{raw_eff:.3f} CPU-bound)
 
 Caveat: local-mode threads share one JVM/heap, so this measures the
 plan's shuffle/partition balance (the thing we control), not network
@@ -119,7 +153,7 @@ serializing on the hot host.
         f.write(md)
     print(json.dumps({
         "local_lo": lo, "local_hi": hi, "efficiency": round(eff, 3),
-        "raw_ceiling": round(raw_eff, 3),
+        "raw_ceiling": round(raw_eff, 3), "bw_ceiling": round(bw_eff, 3),
     }))
 
 
