@@ -257,15 +257,6 @@ def run_generation(
         .unionByName(updated.filter(F.col("status") == "pending"))
         .unionByName(new_rows)
     )
-    store.write("frontier", next_frontier, generation)
-    # seen is append-mode: write only this generation's delta — a full
-    # rewrite is O(seen) I/O per generation (fatal at 10^10 keys)
-    store.write_append(
-        "seen",
-        new_rows.select("url_hash", "host_hash", F.lit(generation).alias("generation")),
-        generation,
-    )
-
     n_scheduled = scheduled.count()
     n_new = new_rows.count()
     wall_ms = int((time.time() - t0) * 1000)
@@ -285,7 +276,24 @@ def run_generation(
         "generation int, partition_id int, rows_in long, rows_out long,"
         " scheduled long, filtered_seen long, wall_ms long",
     )
-    store.write_append("metrics", metrics, generation)
+    # ONE atomic commit for all three tables: a crash mid-generation must
+    # never leave the frontier at g with the seen set at g-1. seen and
+    # metrics are append-mode — only this generation's delta is written
+    # (a full seen rewrite is O(10^10) I/O per generation at target scale).
+    store.write_many(
+        [
+            ("frontier", next_frontier, generation, "snapshot"),
+            (
+                "seen",
+                new_rows.select(
+                    "url_hash", "host_hash", F.lit(generation).alias("generation")
+                ),
+                generation,
+                "append",
+            ),
+            ("metrics", metrics, generation, "append"),
+        ]
+    )
     for h in (updated, pending, discovered, new_base):
         h.unpersist()
     return {
@@ -303,11 +311,11 @@ def bootstrap(
 ) -> dict:
     """Generation 0: seed the frontier + seen set."""
     fr = seeds_to_frontier(seeds).select(*FRONTIER_COLS)
-    store.write("frontier", fr, 0)
-    store.write_append(
-        "seen",
-        fr.select("url_hash", "host_hash", F.lit(0).alias("generation")),
-        0,
+    store.write_many(
+        [
+            ("frontier", fr, 0, "snapshot"),
+            ("seen", fr.select("url_hash", "host_hash", F.lit(0).alias("generation")), 0, "append"),
+        ]
     )
     n = fr.count()
     return {"generation": 0, "seeded": n}

@@ -81,26 +81,38 @@ class SnapshotStore:
         self._write(table, df, generation, mode="append")
 
     def _write(self, table: str, df: DataFrame, generation: int, mode: str) -> None:
+        self.write_many([(table, df, generation, mode)])
+
+    def write_many(
+        self, writes: list[tuple[str, DataFrame, int, str]]
+    ) -> None:
+        """Multi-table transaction: all parquet dirs are written first,
+        then ONE manifest commit makes every table's new version visible
+        atomically. A crash mid-way leaves the previous manifest intact —
+        no table can be observed at generation g while a sibling is still
+        at g-1 (the cross-table consistency Iceberg transactions give;
+        run_generation commits frontier+seen+metrics this way)."""
         manifest = self._read_manifest()
-        t = manifest["tables"].setdefault(
-            table, {"current": None, "history": [], "mode": mode, "dirs": {}}
-        )
-        if t.get("mode") is None:
-            t["mode"] = mode
-        if t["mode"] != mode:
-            raise ValueError(
-                f"table {table!r} is {t['mode']}-mode; cannot {mode}-write"
+        for table, df, generation, mode in writes:
+            t = manifest["tables"].setdefault(
+                table, {"current": None, "history": [], "mode": mode, "dirs": {}}
             )
-        path = self._new_dir(manifest, table, generation)
-        df.write.mode("overwrite").parquet(path)
-        g = str(generation)
-        if mode == "snapshot":
-            t["dirs"][g] = [path]  # replaces the reference, not the old dir
-        else:
-            t["dirs"].setdefault(g, []).append(path)
-        t["current"] = generation
-        if generation not in t["history"]:
-            t["history"].append(generation)
+            if t.get("mode") is None:
+                t["mode"] = mode
+            if t["mode"] != mode:
+                raise ValueError(
+                    f"table {table!r} is {t['mode']}-mode; cannot {mode}-write"
+                )
+            path = self._new_dir(manifest, table, generation)
+            df.write.mode("overwrite").parquet(path)
+            g = str(generation)
+            if mode == "snapshot":
+                t["dirs"][g] = [path]  # replaces the reference, not the old dir
+            else:
+                t["dirs"].setdefault(g, []).append(path)
+            t["current"] = generation
+            if generation not in t["history"]:
+                t["history"].append(generation)
         self._commit_manifest(manifest)
 
     def read(

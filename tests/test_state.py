@@ -58,3 +58,36 @@ def test_snapshot_rewrite_keeps_lazy_reader_valid(spark):
         lazy = s.read(spark, "t", 0)  # not collected yet
         s.write("t", lazy.unionByName(_df(spark, [3])), 0)
         assert sorted(r["v"] for r in s.read(spark, "t", 0).collect()) == [1, 2, 3]
+
+
+def test_write_many_all_or_nothing(spark):
+    """A failure on any entry of a multi-table transaction must leave NO
+    table advanced (one manifest commit at the end)."""
+    with tempfile.TemporaryDirectory() as d:
+        s = SnapshotStore(d)
+        s.write("a", _df(spark, [1]), 0)
+        s.write("b", _df(spark, [1]), 0)
+        with pytest.raises(ValueError):
+            # second entry violates b's snapshot mode -> whole txn aborts
+            s.write_many(
+                [
+                    ("a", _df(spark, [2]), 1, "snapshot"),
+                    ("b", _df(spark, [2]), 1, "append"),
+                ]
+            )
+        assert s.current_generation("a") == 0
+        assert s.current_generation("b") == 0
+        assert sorted(r["v"] for r in s.read(spark, "a").collect()) == [1]
+
+
+def test_write_many_commits_together(spark):
+    with tempfile.TemporaryDirectory() as d:
+        s = SnapshotStore(d)
+        s.write_many(
+            [
+                ("a", _df(spark, [1]), 0, "snapshot"),
+                ("b", _df(spark, [9]), 0, "append"),
+            ]
+        )
+        assert s.current_generation("a") == 0 and s.current_generation("b") == 0
+        assert [r["v"] for r in s.read(spark, "b").collect()] == [9]
