@@ -192,6 +192,24 @@ FRONTIER_COLS = [
 ]
 
 
+def pending_view(
+    spark: SparkSession, store: SnapshotStore, generation: int | None = None
+) -> DataFrame:
+    """Merge-on-read pending state of the append-mode frontier table.
+
+    The frontier is a delta log: discovery writes a url's row once with
+    status='pending' (the seen-filter guarantees at-most-once discovery)
+    and scheduling writes it once more with status='done'. Latest-wins
+    therefore reduces to an anti-join against the done keys — no window,
+    no full-table rewrite per generation (the O(frontier) write the
+    snapshot design paid; at 10^10 pending rows that write IS the job)."""
+    fr = store.read(spark, "frontier", generation).select(*FRONTIER_COLS)
+    done_keys = fr.filter(F.col("status") != "pending").select("url_hash")
+    return fr.filter(F.col("status") == "pending").join(
+        done_keys, "url_hash", "left_anti"
+    )
+
+
 def run_generation(
     spark: SparkSession,
     store: SnapshotStore,
@@ -201,18 +219,28 @@ def run_generation(
     crawl_delay_sec: int = 1,
     salt_parts: int = 16,
     use_bloom: bool = True,
+    compact_every: int = 8,
 ) -> dict:
     """One frontier generation: schedule → fetch(sim) → expand → dedupe →
-    seen-filter → snapshot. Returns driver-side metrics dict."""
+    seen-filter → delta commit. Returns driver-side metrics dict.
+
+    The frontier commit is a DELTA (finished + newly discovered rows),
+    cost ∝ scheduled+new instead of O(frontier); every `compact_every`
+    generations the merged state is compacted into one dir so the
+    read-side delta union and done-key anti-join stay bounded."""
     t0 = time.time()
     frontier = store.read(spark, "frontier").select(*FRONTIER_COLS)
     seen = store.read(spark, "seen")
 
     # persist: politeness consumes pending three times (skew census +
     # norm/big splits) and the count makes four — uncached that's four
-    # snapshot re-reads
-    pending = frontier.filter(F.col("status") == "pending").persist()
-    done_rows = frontier.filter(F.col("status") != "pending")
+    # delta-log re-merges
+    done_keys = frontier.filter(F.col("status") != "pending").select("url_hash")
+    pending = (
+        frontier.filter(F.col("status") == "pending")
+        .join(done_keys, "url_hash", "left_anti")
+        .persist()
+    )
     rows_in = pending.count()
 
     updated = politeness_schedule(
@@ -252,11 +280,6 @@ def run_generation(
 
     # scheduled rows are fetched within the generation → status done
     finished = scheduled.withColumn("status", F.lit("done"))
-    next_frontier = (
-        done_rows.unionByName(finished)
-        .unionByName(updated.filter(F.col("status") == "pending"))
-        .unionByName(new_rows)
-    )
     n_scheduled = scheduled.count()
     n_new = new_rows.count()
     wall_ms = int((time.time() - t0) * 1000)
@@ -277,12 +300,31 @@ def run_generation(
         " scheduled long, filtered_seen long, wall_ms long",
     )
     # ONE atomic commit for all three tables: a crash mid-generation must
-    # never leave the frontier at g with the seen set at g-1. seen and
-    # metrics are append-mode — only this generation's delta is written
-    # (a full seen rewrite is O(10^10) I/O per generation at target scale).
+    # never leave the frontier at g with the seen set at g-1. All three
+    # are append-mode — only this generation's delta is written (a full
+    # rewrite is O(10^10) I/O per generation at target scale). Every
+    # compact_every generations the frontier delta log is folded into one
+    # merged dir instead (still the same atomic commit).
+    if compact_every and generation % compact_every == 0:
+        merged = (
+            frontier.filter(F.col("status") != "pending")
+            .unionByName(finished)
+            .unionByName(
+                updated.filter(F.col("status") == "pending").select(*FRONTIER_COLS)
+            )
+            .unionByName(new_rows)
+        )
+        frontier_entry = ("frontier", merged, generation, "compact")
+    else:
+        frontier_entry = (
+            "frontier",
+            finished.select(*FRONTIER_COLS).unionByName(new_rows),
+            generation,
+            "append",
+        )
     store.write_many(
         [
-            ("frontier", next_frontier, generation, "snapshot"),
+            frontier_entry,
             (
                 "seen",
                 new_rows.select(
@@ -313,7 +355,7 @@ def bootstrap(
     fr = seeds_to_frontier(seeds).select(*FRONTIER_COLS)
     store.write_many(
         [
-            ("frontier", fr, 0, "snapshot"),
+            ("frontier", fr, 0, "append"),
             ("seen", fr.select("url_hash", "host_hash", F.lit(0).alias("generation")), 0, "append"),
         ]
     )

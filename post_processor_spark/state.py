@@ -94,12 +94,13 @@ class SnapshotStore:
         run_generation commits frontier+seen+metrics this way)."""
         manifest = self._read_manifest()
         for table, df, generation, mode in writes:
+            table_mode = "append" if mode == "compact" else mode
             t = manifest["tables"].setdefault(
-                table, {"current": None, "history": [], "mode": mode, "dirs": {}}
+                table, {"current": None, "history": [], "mode": table_mode, "dirs": {}}
             )
             if t.get("mode") is None:
-                t["mode"] = mode
-            if t["mode"] != mode:
+                t["mode"] = table_mode
+            if t["mode"] != table_mode:
                 raise ValueError(
                     f"table {table!r} is {t['mode']}-mode; cannot {mode}-write"
                 )
@@ -108,6 +109,13 @@ class SnapshotStore:
             g = str(generation)
             if mode == "snapshot":
                 t["dirs"][g] = [path]  # replaces the reference, not the old dir
+            elif mode == "compact":
+                # append-table compaction: the written df IS the merged
+                # state; all prior deltas are dereferenced (Iceberg
+                # snapshot-expiry analog — time travel before the
+                # compaction point is gone, by design)
+                t["dirs"] = {g: [path]}
+                t["history"] = []
             else:
                 t["dirs"].setdefault(g, []).append(path)
             t["current"] = generation

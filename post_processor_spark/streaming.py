@@ -50,19 +50,26 @@ def start_frontier_stream(
             gen_now = 0
         elif batch_df.take(1):
             new_rows = frontier.seeds_to_frontier(batch_df).select(*frontier.FRONTIER_COLS)
-            current = store.read(spark, "frontier").select(*frontier.FRONTIER_COLS)
             seen = store.read(spark, "seen")
-            unseen_new = new_rows.join(seen.select("url_hash"), "url_hash", "left_anti")
-            # versioned dirs make the same-generation rewrite safe: the
-            # new frontier snapshot is written to a fresh dir while the
-            # lazy `current` plan still reads the old one
-            store.write("frontier", current.unionByName(unseen_new.select(*frontier.FRONTIER_COLS)), gen_now)
-            # seen is append-mode: only the delta is written
-            store.write_append(
-                "seen",
-                unseen_new.select("url_hash", "host_hash", F.lit(gen_now).alias("generation")),
-                gen_now,
+            unseen_new = new_rows.join(
+                seen.select("url_hash"), "url_hash", "left_anti"
+            ).persist()
+            # frontier + seen are delta logs: merging a seed batch is one
+            # atomic append of the genuinely-new rows, not a rewrite
+            store.write_many(
+                [
+                    ("frontier", unseen_new.select(*frontier.FRONTIER_COLS), gen_now, "append"),
+                    (
+                        "seen",
+                        unseen_new.select(
+                            "url_hash", "host_hash", F.lit(gen_now).alias("generation")
+                        ),
+                        gen_now,
+                        "append",
+                    ),
+                ]
             )
+            unseen_new.unpersist()
         frontier.run_generation(spark, store, documents, gen_now + 1, **sched_kwargs)
 
     return (
