@@ -557,6 +557,36 @@ def _q_seen_filter(spark, sf):
     )
 
 
+def _q_robots_gate(spark, sf):
+    """Robots disallow gate (north_rule politeness) — ORACLE-CHECKED: the
+    broadcast rules join + prefix match must equal the arithmetic rule
+    that generated the rules. Hosts with id % 5 == 0 disallow /doc/1* and
+    /doc/3* paths."""
+    seeds = _frontier_seed_docs(spark, sf)
+    cands = frontier.canonicalize_candidates(
+        seeds.withColumn("generation", F.lit(0)).withColumn("sub", F.lit(0).cast("long"))
+    )
+    d = _t(spark, sf, "documents")
+    host_id = F.when(F.col("doc_id") % 10 < 3, F.lit(0)).otherwise(F.col("doc_id") % 97)
+    robots = (
+        d.select(host_id.alias("hid"))
+        .distinct()
+        .filter(F.col("hid") % 5 == 0)
+        .select(
+            F.concat(
+                F.lit("host"), F.col("hid").cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            F.array(F.lit("/doc/1"), F.lit("/doc/3")).alias("disallow"),
+        )
+    )
+    return (
+        frontier.apply_robots(cands, robots)
+        .filter(~F.col("robots_blocked"))
+        .select("url")
+        .orderBy("url")
+    )
+
+
 def _q_minhash_candidates(spark, sf):
     d = _t(spark, sf, "documents")
     sig = dedup.minhash_signatures(d, num_hashes=32, shingle_n=3)
@@ -628,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frontier core (oracle-checked: results are exact windows/anti-joins)
         "q_frontier_schedule": _q_frontier_schedule,
         "q_seen_filter": _q_seen_filter,
+        "q_robots_gate": _q_robots_gate,
         # rows-only (non-SQL-expressible)
         "q_minhash_candidates": _q_minhash_candidates,
         "q_simhash": _q_simhash,
@@ -914,6 +945,21 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
                      || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
             FROM documents WHERE doc_id % 3 <> 0 ORDER BY url
+        """,
+        "q_robots_gate": """
+            WITH seeds AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS hid,
+                     'https://host'
+                       || CAST(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
+                       || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            )
+            SELECT url FROM seeds
+            WHERE NOT (hid % 5 = 0
+                       AND (CAST(doc_id AS VARCHAR) LIKE '1%'
+                            OR CAST(doc_id AS VARCHAR) LIKE '3%'))
+            ORDER BY url
         """,
         "q_ann_cosine": """
             SELECT query_id, rank, neighbor_id FROM (

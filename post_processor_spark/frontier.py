@@ -142,6 +142,38 @@ def politeness_schedule(
     return decided.unionByName(shard_overflow)
 
 
+def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Tag candidates blocked by robots.txt disallow rules (north_rule:
+    per-domain politeness with robots budget).
+
+    robots(host, disallow: array<string>) — per-host rules as the crawler
+    would fetch them (injectable; the sandbox has no network). A candidate
+    is blocked when ANY disallow prefix matches its canonical path
+    (REP simplified: Allow overrides are not modeled — documented).
+    Pure column expressions: broadcast rules join + exists/startswith,
+    no per-row Python. Returns candidates + `robots_blocked` boolean."""
+    cu = F.col("canonical_url")
+    host_start = F.when(F.instr(cu, "://") > 0, F.instr(cu, "://") + 3).otherwise(
+        F.lit(1)
+    )
+    path = F.substr(cu, host_start + F.length(F.col("host")))
+    with_path = candidates.withColumn("_path", path)
+    rules = robots.select(
+        F.col("host").alias("_rhost"), F.col("disallow").alias("_disallow")
+    )
+    return (
+        with_path.join(F.broadcast(rules), with_path.host == F.col("_rhost"), "left")
+        .withColumn(
+            "robots_blocked",
+            F.coalesce(
+                F.exists("_disallow", lambda p: F.startswith(F.col("_path"), p)),
+                F.lit(False),
+            ),
+        )
+        .drop("_rhost", "_disallow", "_path")
+    )
+
+
 def extract_outlinks(documents: DataFrame) -> DataFrame:
     """documents(doc_id, spans, url, seq) → one row per link/media span:
     (url, parent_seq, sub). The vectorized span-explosion the north_rule
@@ -220,9 +252,15 @@ def run_generation(
     salt_parts: int = 16,
     use_bloom: bool = True,
     compact_every: int = 8,
+    robots: DataFrame | None = None,
 ) -> dict:
-    """One frontier generation: schedule → fetch(sim) → expand → dedupe →
-    seen-filter → delta commit. Returns driver-side metrics dict.
+    """One frontier generation: robots gate → schedule → fetch(sim) →
+    expand → dedupe → seen-filter → delta commit. Returns driver-side
+    metrics dict.
+
+    robots (optional): per-host disallow rules (see apply_robots). Blocked
+    rows are committed with status='blocked' — in the merge-on-read view a
+    non-pending status is a done-key, so they never re-enter the frontier.
 
     The frontier commit is a DELTA (finished + newly discovered rows),
     cost ∝ scheduled+new instead of O(frontier); every `compact_every`
@@ -243,8 +281,23 @@ def run_generation(
     )
     rows_in = pending.count()
 
+    if robots is not None:
+        gated = apply_robots(pending, robots).persist()
+        blocked = (
+            gated.filter(F.col("robots_blocked"))
+            .drop("robots_blocked")
+            .withColumn("status", F.lit("blocked"))
+            .withColumn("sched_gen", F.lit(generation))
+            .select(*FRONTIER_COLS)
+        )
+        schedulable = gated.filter(~F.col("robots_blocked")).drop("robots_blocked")
+    else:
+        gated = None
+        blocked = None
+        schedulable = pending
+
     updated = politeness_schedule(
-        pending, generation, budget_per_host, crawl_delay_sec, salt_parts
+        schedulable, generation, budget_per_host, crawl_delay_sec, salt_parts
     )
     updated = updated.persist()
     scheduled = updated.filter(F.col("status") == "scheduled")
@@ -305,23 +358,23 @@ def run_generation(
     # rewrite is O(10^10) I/O per generation at target scale). Every
     # compact_every generations the frontier delta log is folded into one
     # merged dir instead (still the same atomic commit).
+    delta = finished.select(*FRONTIER_COLS).unionByName(new_rows)
+    if blocked is not None:
+        delta = delta.unionByName(blocked)
     if compact_every and generation % compact_every == 0:
         merged = (
             frontier.filter(F.col("status") != "pending")
-            .unionByName(finished)
+            .unionByName(finished.select(*FRONTIER_COLS))
             .unionByName(
                 updated.filter(F.col("status") == "pending").select(*FRONTIER_COLS)
             )
             .unionByName(new_rows)
         )
+        if blocked is not None:
+            merged = merged.unionByName(blocked)
         frontier_entry = ("frontier", merged, generation, "compact")
     else:
-        frontier_entry = (
-            "frontier",
-            finished.select(*FRONTIER_COLS).unionByName(new_rows),
-            generation,
-            "append",
-        )
+        frontier_entry = ("frontier", delta, generation, "append")
     store.write_many(
         [
             frontier_entry,
@@ -336,7 +389,8 @@ def run_generation(
             ("metrics", metrics, generation, "append"),
         ]
     )
-    for h in (updated, pending, discovered, new_base):
+    n_blocked = blocked.count() if blocked is not None else 0
+    for h in (updated, pending, discovered, new_base) + ((gated,) if gated is not None else ()):
         h.unpersist()
     return {
         "generation": generation,
@@ -344,6 +398,7 @@ def run_generation(
         "scheduled": n_scheduled,
         "discovered": n_discovered,
         "new": n_new,
+        "blocked": n_blocked,
         "wall_ms": wall_ms,
     }
 

@@ -168,3 +168,58 @@ def test_compaction_preserves_state_and_resume(spark):
         )
         assert more_a[0]["scheduled"] == more_b[0]["scheduled"]
         assert more_a[0]["new"] == more_b[0]["new"]
+
+
+def test_apply_robots(spark):
+    rows = [
+        ("https://a.com/private/x", 5, 0),
+        ("https://a.com/public/y", 5, 1),
+        ("https://b.com/private/z", 5, 2),   # no robots entry for b.com
+        ("https://a.com/priv", 5, 3),        # prefix of '/private' itself not matched
+    ]
+    cands = frontier.canonicalize_candidates(
+        spark.createDataFrame(rows, "url string, priority int, seq long")
+        .withColumn("generation", F.lit(0))
+        .withColumn("sub", F.lit(0).cast("long"))
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ["/private/", "/tmp/"])], "host string, disallow array<string>"
+    )
+    out = {r["url"]: r["robots_blocked"] for r in frontier.apply_robots(cands, robots).collect()}
+    assert out["https://a.com/private/x"] is True
+    assert out["https://a.com/public/y"] is False
+    assert out["https://b.com/private/z"] is False
+    assert out["https://a.com/priv"] is False
+
+
+def test_robots_block_is_sticky_across_generations(spark):
+    docs = fixtures.synthetic_documents(spark, 200, n_hosts=10, seed=21).persist()
+    seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq")).limit(40)
+    robots = spark.createDataFrame(
+        [("host0.example.com", ["/"])], "host string, disallow array<string>"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        store = SnapshotStore(d)
+        out = frontier.run_generations(
+            spark, store, docs, seeds, n_generations=2, budget_per_host=4,
+            use_bloom=False, robots=robots,
+        )
+        assert out[1]["blocked"] > 0
+        # nothing on the blocked host is ever scheduled
+        sched = (
+            store.read(spark, "frontier")
+            .filter("status = 'done'")
+            .filter(F.col("host") == "host0.example.com")
+        )
+        assert sched.count() == 0
+        # the robots gate runs at schedule time, so anything on the
+        # blocked host discovered BEFORE the last generation has been
+        # converted to 'blocked'; only final-generation discoveries may
+        # still sit pending (they'd be gated next generation)
+        pv = frontier.pending_view(spark, store)
+        assert (
+            pv.filter(F.col("host") == "host0.example.com")
+            .filter(F.col("generation") < 2)
+            .count()
+            == 0
+        )
