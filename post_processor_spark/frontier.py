@@ -76,6 +76,7 @@ def politeness_schedule(
     crawl_delay_sec: int = 1,
     salt_parts: int = 16,
     skew_threshold: int | None = None,
+    host_delays: DataFrame | None = None,
 ) -> DataFrame:
     """Tag pending rows: the per-host top-B in crawl order get
     status='scheduled' + a not_before slot; the rest stay 'pending'.
@@ -118,6 +119,21 @@ def politeness_schedule(
     ranked = norm.unionByName(survivors).withColumn(
         "_rn", F.row_number().over(w_host)
     )
+    # per-host crawl-delay override (north_rule: robots crawl-delay):
+    # host_delays(host_hash, crawl_delay_sec) — broadcast; default global
+    if host_delays is not None:
+        ranked = ranked.join(
+            F.broadcast(
+                host_delays.select(
+                    "host_hash", F.col("crawl_delay_sec").alias("_hd")
+                )
+            ),
+            "host_hash",
+            "left",
+        )
+        delay = F.coalesce(F.col("_hd"), F.lit(crawl_delay_sec))
+    else:
+        delay = F.lit(crawl_delay_sec)
     epoch = _BASE_EPOCH + generation * budget_per_host * crawl_delay_sec
     is_sched = F.col("_rn") <= budget_per_host
     decided = (
@@ -132,12 +148,10 @@ def politeness_schedule(
             "not_before",
             F.when(
                 is_sched,
-                F.timestamp_seconds(
-                    F.lit(epoch) + (F.col("_rn") - 1) * crawl_delay_sec
-                ),
+                F.timestamp_seconds(F.lit(epoch) + (F.col("_rn") - 1) * delay),
             ).otherwise(F.col("not_before")),
         )
-        .drop("_rn")
+        .drop("_rn", *(["_hd"] if host_delays is not None else []))
     )
     return decided.unionByName(shard_overflow)
 
@@ -296,8 +310,15 @@ def run_generation(
         blocked = None
         schedulable = pending
 
+    # per-host crawl-delay from the robots table when provided
+    host_delays = None
+    if robots is not None and "crawl_delay_sec" in robots.columns:
+        host_delays = robots.select(
+            canon.host_hash(F.col("host")).alias("host_hash"), "crawl_delay_sec"
+        )
     updated = politeness_schedule(
-        schedulable, generation, budget_per_host, crawl_delay_sec, salt_parts
+        schedulable, generation, budget_per_host, crawl_delay_sec, salt_parts,
+        host_delays=host_delays,
     )
     updated = updated.persist()
     scheduled = updated.filter(F.col("status") == "scheduled")

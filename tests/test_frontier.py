@@ -223,3 +223,27 @@ def test_robots_block_is_sticky_across_generations(spark):
             .count()
             == 0
         )
+
+
+def test_per_host_crawl_delay(spark):
+    rows = [(f"https://slow.com/{i}", 5, i) for i in range(3)] + [
+        (f"https://fast.com/{i}", 5, 10 + i) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "url string, priority int, seq long")
+    pending = frontier.seeds_to_frontier(df)
+    delays = spark.createDataFrame(
+        [("slow.com", 5)], "host string, crawl_delay_sec int"
+    ).select(
+        F.xxhash64("host").alias("host_hash"), "crawl_delay_sec"
+    )
+    out = frontier.politeness_schedule(
+        pending, generation=1, budget_per_host=3, crawl_delay_sec=1,
+        host_delays=delays,
+    ).filter("status = 'scheduled'")
+    by_host = {}
+    for r in out.collect():
+        by_host.setdefault(r["host"], []).append(r["not_before"])
+    slow = sorted(by_host["slow.com"])
+    fast = sorted(by_host["fast.com"])
+    assert (slow[1] - slow[0]).total_seconds() == 5.0
+    assert (fast[1] - fast[0]).total_seconds() == 1.0
