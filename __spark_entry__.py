@@ -237,7 +237,10 @@ def _q_first_event_per_user(spark, sf):
 def _q_sessionize(spark, sf):
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # ts.cast("double") keeps sub-second precision (unix_timestamp truncates
+    # to seconds, which could flip an 1800 s boundary at higher sf).
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
     sess = e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
     return (
         sess.groupBy("user_id")
@@ -751,7 +754,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "q_sessionize": """
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM (
               SELECT user_id,
                      CASE WHEN lag(ts) OVER w IS NULL
@@ -767,7 +770,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_json_extract": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -827,7 +830,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_token_stats": """
             SELECT lang,
-                   sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
                    max(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang

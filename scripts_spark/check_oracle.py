@@ -79,9 +79,13 @@ def main():
             n_rows_only += 1
             continue
         try:
+            # Fetch through pandas like the driver does: DuckDB HUGEINT
+            # becomes float64 there, so integer-typed oracle SQL must cast
+            # to BIGINT or the hashes diverge (11757.0 vs 11757).
             cur = con.execute(oracles[name])
-            orows = cur.fetchall()
-            ocols = [d[0] for d in cur.description]
+            odf = cur.df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {str(ex)[:200]}")
             n_fail += 1
