@@ -134,7 +134,13 @@ def politeness_schedule(
         delay = F.coalesce(F.col("_hd"), F.lit(crawl_delay_sec))
     else:
         delay = F.lit(crawl_delay_sec)
-    epoch = _BASE_EPOCH + generation * budget_per_host * crawl_delay_sec
+    # Epoch spacing uses the HOST'S delay, not the global one: slot i of
+    # generation g lands at BASE + (g*B + i-1)*d(host), so consecutive
+    # slots are d apart both within a generation AND across the
+    # generation boundary. (With a global-delay epoch, a host whose
+    # robots delay exceeds the global delay had generation-g slots
+    # extending past epoch(g+1), violating its declared crawl-delay.)
+    epoch = F.lit(_BASE_EPOCH) + F.lit(generation * budget_per_host) * delay
     is_sched = F.col("_rn") <= budget_per_host
     decided = (
         ranked.withColumn(
@@ -148,7 +154,7 @@ def politeness_schedule(
             "not_before",
             F.when(
                 is_sched,
-                F.timestamp_seconds(F.lit(epoch) + (F.col("_rn") - 1) * delay),
+                F.timestamp_seconds(epoch + (F.col("_rn") - 1) * delay),
             ).otherwise(F.col("not_before")),
         )
         .drop("_rn", *(["_hd"] if host_delays is not None else []))
@@ -166,11 +172,13 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     (REP simplified: Allow overrides are not modeled — documented).
     Pure column expressions: broadcast rules join + exists/startswith,
     no per-row Python. Returns candidates + `robots_blocked` boolean."""
+    # Path via the same parse that produced `host` — an instr('://') scan
+    # would take a mid-string '://' embedded in a query (e.g.
+    # 'host.com/redirect?u=https://x') for a scheme separator and derive a
+    # garbage path that silently under-blocks. An empty path is the root.
     cu = F.col("canonical_url")
-    host_start = F.when(F.instr(cu, "://") > 0, F.instr(cu, "://") + 3).otherwise(
-        F.lit(1)
-    )
-    path = F.substr(cu, host_start + F.length(F.col("host")))
+    rest = canon._parse_url(cu)["rest"]
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
     with_path = candidates.withColumn("_path", path)
     rules = robots.select(
         F.col("host").alias("_rhost"), F.col("disallow").alias("_disallow")

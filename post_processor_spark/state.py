@@ -49,7 +49,31 @@ class SnapshotStore:
         t = manifest["tables"].setdefault(
             table, {"current": None, "history": [], "mode": None, "dirs": {}}
         )
-        k = sum(len(ds) for ds in t["dirs"].values())  # monotone → unique
+        # Monotone per-table write counter. Deriving the suffix from the
+        # number of currently-referenced dirs is NOT monotone: a snapshot
+        # rewrite replaces a reference without growing the count, and
+        # compaction shrinks it — either can regenerate an in-use path and
+        # overwrite data a lazy reader still holds. Older manifests lack
+        # next_id; seed it past every suffix ever referenced.
+        if "next_id" not in t:
+            seen = [
+                int(os.path.basename(p).rsplit(".", 1)[1])
+                for ds in t["dirs"].values()
+                for p in ds
+            ]
+            # Dereferenced dirs (post-compaction) are still on disk and may
+            # still be lazily read — seed past those too.
+            tdir = os.path.join(self.root, table)
+            if os.path.isdir(tdir):
+                for d in os.listdir(tdir):
+                    if d.startswith("gen=") and "." in d:
+                        try:
+                            seen.append(int(d.rsplit(".", 1)[1]))
+                        except ValueError:
+                            pass
+            t["next_id"] = (max(seen) + 1) if seen else 0
+        k = t["next_id"]
+        t["next_id"] = k + 1
         return os.path.join(self.root, table, f"gen={generation}.{k}")
 
     # ---------------------------------------------------------- manifest

@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -119,13 +120,22 @@ def main() -> None:
     # This sandbox VM's deliverable performance varies heavily run-to-run
     # (the pure-CPU calibration alone has been observed anywhere between
     # 0.76 and 0.94 on the same pair): host noise only ever SUBTRACTS, so
-    # the best complete comparison is the closest estimate of the plan's
-    # true scaling. All rounds are reported for transparency.
+    # the best measurement PER PARALLELISM LEVEL is the closest estimate
+    # of each level's true rate. The headline efficiency is computed from
+    # those per-level bests — NOT max-over-rounds of the ratio, which
+    # preferentially selects rounds where noise slowed the denominator
+    # and biases the ratio upward. All rounds are reported.
     rounds = [compare_once(n_urls) for _ in range(n_rounds)]
-    best = max(rounds, key=lambda r: r["eff"])
-    raw_lo, raw_hi, raw_eff = best["raw_lo"], best["raw_hi"], best["raw_eff"]
-    bw_lo, bw_hi, bw_eff = best["bw_lo"], best["bw_hi"], best["bw_eff"]
-    lo, hi, eff = best["lo"], best["hi"], best["eff"]
+    lo = max((r["lo"] for r in rounds), key=lambda x: x["rate"])
+    hi = max((r["hi"] for r in rounds), key=lambda x: x["rate"])
+    eff = (hi["rate"] / lo["rate"]) / (N_HI / N_LO)
+    raw_lo = max(r["raw_lo"] for r in rounds)
+    raw_hi = max(r["raw_hi"] for r in rounds)
+    raw_eff = (raw_hi / raw_lo) / (N_HI / N_LO)
+    bw_lo = max(r["bw_lo"] for r in rounds)
+    bw_hi = max(r["bw_hi"] for r in rounds)
+    bw_eff = (bw_hi / bw_lo) / (N_HI / N_LO)
+    med_eff = statistics.median(r["eff"] for r in rounds)
     all_effs = ", ".join(
         f"{r['eff']:.3f} (cpu ceil {r['raw_eff']:.2f}, bw ceil {r['bw_eff']:.2f})"
         for r in rounds
@@ -165,12 +175,15 @@ mega-host and no partition is hot.
 
 **Spark scaling efficiency (rate_4N / rate_N) / 4 = {eff:.3f}**
 (ceiling envelope on this pair: {bw_eff:.3f} bandwidth-bound …
-{raw_eff:.3f} CPU-bound)
+{raw_eff:.3f} CPU-bound; median per-round efficiency {med_eff:.3f})
 
 Host-noise control: the VM's deliverable performance varies heavily
 between runs, so {n_rounds} complete comparisons (fresh calibrations +
-fresh JVMs each) were measured and the BEST is reported — noise only
-subtracts. All rounds: {all_effs}.
+fresh JVMs each) were measured. The headline uses the best rate PER
+PARALLELISM LEVEL (noise only subtracts from each level independently);
+best-of-rounds of the RATIO would be biased upward — it preferentially
+selects rounds whose denominator run was noise-slowed. Per-round ratio
+efficiencies for transparency: {all_effs}; median {med_eff:.3f}.
 
 Caveat: local-mode threads share one JVM/heap, so this measures the
 plan's shuffle/partition balance (the thing we control), not network
@@ -182,6 +195,7 @@ serializing on the hot host.
         f.write(md)
     print(json.dumps({
         "local_lo": lo, "local_hi": hi, "efficiency": round(eff, 3),
+        "median_round_eff": round(med_eff, 3),
         "raw_ceiling": round(raw_eff, 3), "bw_ceiling": round(bw_eff, 3),
         "all_rounds": [round(r["eff"], 3) for r in rounds],
     }))

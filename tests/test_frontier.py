@@ -247,3 +247,54 @@ def test_per_host_crawl_delay(spark):
     fast = sorted(by_host["fast.com"])
     assert (slow[1] - slow[0]).total_seconds() == 5.0
     assert (fast[1] - fast[0]).total_seconds() == 1.0
+
+
+def test_per_host_crawl_delay_across_generations(spark):
+    """The crawl-delay guarantee must hold across the generation boundary:
+    a host whose delay exceeds the global one gets its own epoch spacing,
+    so generation g's last slot and g+1's first slot are >= delay apart."""
+    rows = [(f"https://slow.com/{i}", 5, i) for i in range(8)]
+    df = spark.createDataFrame(rows, "url string, priority int, seq long")
+    pending = frontier.seeds_to_frontier(df).persist()
+    delays = spark.createDataFrame(
+        [("slow.com", 60)], "host string, crawl_delay_sec int"
+    ).select(F.xxhash64("host").alias("host_hash"), "crawl_delay_sec")
+
+    def slots(gen):
+        out = frontier.politeness_schedule(
+            pending, generation=gen, budget_per_host=3, crawl_delay_sec=1,
+            host_delays=delays,
+        ).filter("status = 'scheduled'")
+        return sorted(r["not_before"] for r in out.collect())
+
+    g1, g2 = slots(1), slots(2)
+    assert (g1[1] - g1[0]).total_seconds() == 60.0
+    assert (g2[0] - g1[-1]).total_seconds() >= 60.0
+    pending.unpersist()
+
+
+def test_apply_robots_embedded_url_in_query(spark):
+    """A '://' inside the query string must not be parsed as the scheme
+    separator (it produced a garbage path that under-blocked)."""
+    rows = [
+        ("https://a.com/private/go?u=https://x.com/y", 5, 0),  # blocked
+        ("https://a.com/ok?u=https://x.com/private/z", 5, 1),  # allowed
+        ("https://a.com", 5, 2),  # empty path == root
+    ]
+    cands = frontier.canonicalize_candidates(
+        spark.createDataFrame(rows, "url string, priority int, seq long")
+        .withColumn("generation", F.lit(0))
+        .withColumn("sub", F.lit(0).cast("long"))
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ["/private/"])], "host string, disallow array<string>"
+    )
+    out = {r["seq"]: r["robots_blocked"] for r in frontier.apply_robots(cands, robots).collect()}
+    assert out[0] is True
+    assert out[1] is False
+    assert out[2] is False
+    root = spark.createDataFrame(
+        [("a.com", ["/"])], "host string, disallow array<string>"
+    )
+    out2 = {r["seq"]: r["robots_blocked"] for r in frontier.apply_robots(cands, root).collect()}
+    assert out2[2] is True  # bare host = root path, '/' disallow blocks it

@@ -60,6 +60,36 @@ def test_snapshot_rewrite_keeps_lazy_reader_valid(spark):
         assert sorted(r["v"] for r in s.read(spark, "t", 0).collect()) == [1, 2, 3]
 
 
+def test_double_rewrite_same_generation_never_reuses_dir(spark):
+    """Two consecutive rewrites of the SAME generation must use fresh dirs:
+    deriving the suffix from the referenced-dir count regenerated the same
+    path on the second rewrite and overwrote the dir a lazy reader of the
+    first rewrite still held."""
+    with tempfile.TemporaryDirectory() as d:
+        s = SnapshotStore(d)
+        s.write("t", _df(spark, [1]), 0)
+        s.write("t", _df(spark, [1, 2]), 0)  # rewrite #1
+        lazy = s.read(spark, "t", 0)
+        s.write("t", _df(spark, [9]), 0)  # rewrite #2 — must not clobber #1's dir
+        assert sorted(r["v"] for r in lazy.collect()) == [1, 2]
+        assert sorted(r["v"] for r in s.read(spark, "t", 0).collect()) == [9]
+
+
+def test_compaction_then_write_never_reuses_dir(spark):
+    """Compaction shrinks the referenced-dir set; a later append must still
+    get a fresh dir (monotone next_id, not a count-derived suffix)."""
+    with tempfile.TemporaryDirectory() as d:
+        s = SnapshotStore(d)
+        s.write_append("t", _df(spark, [1]), 0)
+        s.write_append("t", _df(spark, [2]), 1)
+        merged = s.read(spark, "t")
+        s.write_many([("t", merged, 1, "compact")])
+        lazy = s.read(spark, "t")
+        s.write_append("t", _df(spark, [3]), 1)
+        assert sorted(r["v"] for r in lazy.collect()) == [1, 2]
+        assert sorted(r["v"] for r in s.read(spark, "t").collect()) == [1, 2, 3]
+
+
 def test_write_many_all_or_nothing(spark):
     """A failure on any entry of a multi-table transaction must leave NO
     table advanced (one manifest commit at the end)."""
