@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import canon
-from .seen import filter_unseen
+from .seen import build_bloom, filter_unseen, merge_bloom
 from .state import SnapshotStore
 
 # fixed, documented epoch for deterministic not_before timestamps
@@ -291,17 +291,26 @@ def run_generation(
     t0 = time.time()
     frontier = store.read(spark, "frontier").select(*FRONTIER_COLS)
     seen = store.read(spark, "seen")
+    # Incrementally maintained bloom table: per-generation delta bitmaps,
+    # OR-merged at read (tiny — n_buckets rows per delta). This replaces
+    # the per-generation build_bloom(seen) rescan, whose cost is
+    # O(|seen|): at a 10^10-row seen set that rescan IS the job.
+    try:
+        bloom_deltas = store.read(spark, "bloom")
+    except FileNotFoundError:
+        bloom_deltas = None  # pre-bloom store (older run) — backfill below
+    bloom_df = (
+        merge_bloom(bloom_deltas) if (use_bloom and bloom_deltas is not None) else None
+    )
 
     # persist: politeness consumes pending three times (skew census +
-    # norm/big splits) and the count makes four — uncached that's four
-    # delta-log re-merges
+    # norm/big splits) — uncached that's three delta-log re-merges
     done_keys = frontier.filter(F.col("status") != "pending").select("url_hash")
     pending = (
         frontier.filter(F.col("status") == "pending")
         .join(done_keys, "url_hash", "left_anti")
         .persist()
     )
-    rows_in = pending.count()
 
     if robots is not None:
         gated = apply_robots(pending, robots).persist()
@@ -357,23 +366,39 @@ def run_generation(
         .persist()
     )
     n_discovered = discovered.count()
-    new_base = filter_unseen(discovered, seen, use_bloom=use_bloom, materialize=True)
+    new_base = filter_unseen(
+        discovered, seen, use_bloom=use_bloom, materialize=True, bloom=bloom_df
+    )
     new_rows = new_base.select(*FRONTIER_COLS)
+    n_new = new_base.materialized_count
 
     # scheduled rows are fetched within the generation → status done
     finished = scheduled.withColumn("status", F.lit("done"))
-    n_scheduled = scheduled.count()
-    n_new = new_rows.count()
-    wall_ms = int((time.time() - t0) * 1000)
-    metrics_rows = [
-        (generation, -1, rows_in, n_new, n_scheduled, n_discovered - n_new, wall_ms)
-    ]
+    # Driver-side actions are per-generation FIXED overhead that caps the
+    # headline rate and scaling efficiency, so counts are folded: rows_in
+    # and n_blocked come from ONE aggregate over the gated/updated cache,
+    # and n_scheduled is the sum of the per-partition lineage counts.
+    if gated is not None:
+        a = gated.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("robots_blocked").cast("long")).alias("b"),
+        ).collect()[0]
+        rows_in = a["n"]
+        n_blocked = int(a["b"] or 0)
+    else:
+        rows_in = updated.count()
+        n_blocked = 0
     # per-partition lineage (A6/north_rule): partition-level scheduled counts
     part_counts = (
         scheduled.groupBy(F.spark_partition_id().alias("partition_id"))
         .count()
         .collect()
     )
+    n_scheduled = sum(r["count"] for r in part_counts)
+    wall_ms = int((time.time() - t0) * 1000)
+    metrics_rows = [
+        (generation, -1, rows_in, n_new, n_scheduled, n_discovered - n_new, wall_ms)
+    ]
     for r in part_counts:
         metrics_rows.append((generation, r["partition_id"], rows_in, n_new, r["count"], 0, wall_ms))
     metrics = spark.createDataFrame(
@@ -390,6 +415,13 @@ def run_generation(
     delta = finished.select(*FRONTIER_COLS).unionByName(new_rows)
     if blocked is not None:
         delta = delta.unionByName(blocked)
+    # bloom delta: bitmaps over THIS generation's new keys only (cost ∝
+    # new rows). A pre-bloom store gets a one-time backfill over seen∪new.
+    new_keys = new_rows.select("url_hash")
+    if bloom_deltas is None:
+        bloom_delta = build_bloom(seen.select("url_hash").unionByName(new_keys))
+    else:
+        bloom_delta = build_bloom(new_keys)
     if compact_every and generation % compact_every == 0:
         merged = (
             frontier.filter(F.col("status") != "pending")
@@ -402,8 +434,12 @@ def run_generation(
         if blocked is not None:
             merged = merged.unionByName(blocked)
         frontier_entry = ("frontier", merged, generation, "compact")
+        if bloom_deltas is not None:
+            bloom_delta = merge_bloom(bloom_deltas.unionByName(bloom_delta))
+        bloom_entry = ("bloom", bloom_delta, generation, "compact")
     else:
         frontier_entry = ("frontier", delta, generation, "append")
+        bloom_entry = ("bloom", bloom_delta, generation, "append")
     store.write_many(
         [
             frontier_entry,
@@ -416,9 +452,9 @@ def run_generation(
                 "append",
             ),
             ("metrics", metrics, generation, "append"),
+            bloom_entry,
         ]
     )
-    n_blocked = blocked.count() if blocked is not None else 0
     for h in (updated, pending, discovered, new_base) + ((gated,) if gated is not None else ()):
         h.unpersist()
     return {
@@ -436,14 +472,16 @@ def bootstrap(
     spark: SparkSession, store: SnapshotStore, seeds: DataFrame
 ) -> dict:
     """Generation 0: seed the frontier + seen set."""
-    fr = seeds_to_frontier(seeds).select(*FRONTIER_COLS)
+    fr = seeds_to_frontier(seeds).select(*FRONTIER_COLS).persist()
     store.write_many(
         [
             ("frontier", fr, 0, "append"),
             ("seen", fr.select("url_hash", "host_hash", F.lit(0).alias("generation")), 0, "append"),
+            ("bloom", build_bloom(fr.select("url_hash")), 0, "append"),
         ]
     )
     n = fr.count()
+    fr.unpersist()
     return {"generation": 0, "seeded": n}
 
 

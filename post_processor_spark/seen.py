@@ -80,16 +80,38 @@ def build_bloom(
             {"bucket": [int(pdf["bucket"].iloc[0])], "bitmap": [bits.tobytes()]}
         )
 
-    schema = T.StructType(
-        [
-            T.StructField("bucket", T.IntegerType()),
-            T.StructField("bitmap", T.BinaryType()),
-        ]
-    )
     with_bucket = seen.withColumn("bucket", _bucket_col(n_buckets))
     return with_bucket.select("bucket", "url_hash").groupBy("bucket").applyInPandas(
-        agg, schema=schema
+        agg, schema=_BLOOM_SCHEMA
     )
+
+
+_BLOOM_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("bitmap", T.BinaryType()),
+    ]
+)
+
+
+def merge_bloom(deltas: DataFrame) -> DataFrame:
+    """OR-merge per-generation delta bitmaps into one bitmap per bucket.
+
+    The bloom table is maintained INCREMENTALLY (north_rule 10^10 scale):
+    each generation appends a delta built from only that generation's new
+    keys, so no generation ever rescans the full seen table — at a
+    10^10-row seen set that rescan is the whole job. Merging is a tiny
+    shuffle of (generations-since-compaction × n_buckets) bitmap rows."""
+
+    def or_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bitmap"].iloc[1:]:
+            out |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "bitmap": [out.tobytes()]}
+        )
+
+    return deltas.groupBy("bucket").applyInPandas(or_reduce, schema=_BLOOM_SCHEMA)
 
 
 def _bloom_test(bitmaps: dict, url_hash: np.ndarray, bucket: np.ndarray, k: int, m: int) -> np.ndarray:
@@ -204,17 +226,24 @@ def filter_unseen(
     bits_per_bucket: int = 1 << 20,
     mode: str = "auto",
     materialize: bool = False,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of `candidates` whose url_hash is not in `seen`.
 
     Bloom path: definitely-unseen rows bypass the exact join; maybe-seen
     rows get the exact left_anti (resolves bloom false positives).
 
+    bloom: prebuilt (bucket, bitmap) frame (e.g. the incrementally
+    maintained store table via merge_bloom). When omitted, the bloom is
+    built from the full seen table — an O(|seen|) rescan acceptable for
+    one-shot use, NOT per generation at scale.
+
     materialize=True: persist + force the RESULT, then release the
     intermediate cache. Use when the caller consumes the result more than
     once (count + snapshot writes) — uncached, each consumer re-runs the
     candidate lineage and the membership pass. Caller owns unpersist() of
-    the returned frame."""
+    the returned frame; the forced row count is exposed as
+    `out.materialized_count` so callers don't pay a second count job."""
     # NOTE: no .distinct() on the seen side — left_anti semantics ignore
     # duplicate matches, and a distinct would shuffle the full seen table
     # (10^10 rows at target scale) before every generation's join.
@@ -222,9 +251,10 @@ def filter_unseen(
         out = candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
         if materialize:
             out = out.persist()
-            out.count()
+            out.materialized_count = out.count()
         return out
-    bloom = build_bloom(seen, n_buckets, bits_per_bucket)
+    if bloom is None:
+        bloom = build_bloom(seen, n_buckets, bits_per_bucket)
     # persist: both branches (definitely-unseen ∪ resolved-maybe) consume
     # `tagged`; without a cache each union branch re-runs the candidate
     # lineage AND the bloom check
@@ -237,6 +267,6 @@ def filter_unseen(
     out = definitely_unseen.unionByName(resolved)
     if materialize:
         out = out.persist()
-        out.count()
+        out.materialized_count = out.count()
         tagged.unpersist()
     return out

@@ -28,6 +28,55 @@ def test_bloom_matches_exact(spark):
     assert len(a) == cands.filter(F.col("seq") % 2 == 1).count()
 
 
+def test_merge_bloom_or_reduces_deltas(spark):
+    """OR-merging per-generation delta bitmaps must equal a bloom built
+    over the union of keys (associativity of the incremental design)."""
+    cands = frontier.canonicalize_candidates(
+        fixtures.synthetic_seed_frontier(spark, 2000, n_hosts=20, seed=3)
+        .withColumn("generation", F.lit(0))
+        .withColumn("sub", F.lit(0).cast("long"))
+    ).persist()
+    a = cands.filter(F.col("seq") % 2 == 0).select("url_hash")
+    b = cands.filter(F.col("seq") % 2 == 1).select("url_hash")
+    deltas = seen_mod.build_bloom(a, n_buckets=8).unionByName(
+        seen_mod.build_bloom(b, n_buckets=8)
+    )
+    merged = {
+        r["bucket"]: r["bitmap"] for r in seen_mod.merge_bloom(deltas).collect()
+    }
+    full = {
+        r["bucket"]: r["bitmap"]
+        for r in seen_mod.build_bloom(cands.select("url_hash"), n_buckets=8).collect()
+    }
+    assert merged == full
+    cands.unpersist()
+
+
+def test_incremental_bloom_matches_full_rebuild(spark):
+    """After several generations the store's delta-log bloom, OR-merged,
+    must be byte-identical to a bloom rebuilt from the full seen table —
+    proof the per-generation O(|seen|) rescan is gone without changing
+    membership semantics."""
+    docs = fixtures.synthetic_documents(spark, 400, n_hosts=12, seed=31).persist()
+    seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq")).limit(60)
+    with tempfile.TemporaryDirectory() as d:
+        store = SnapshotStore(d)
+        frontier.run_generations(
+            spark, store, docs, seeds, n_generations=3, budget_per_host=4,
+            use_bloom=True, compact_every=2,  # exercises the compact fold too
+        )
+        merged = {
+            r["bucket"]: r["bitmap"]
+            for r in seen_mod.merge_bloom(store.read(spark, "bloom")).collect()
+        }
+        full = {
+            r["bucket"]: r["bitmap"]
+            for r in seen_mod.build_bloom(store.read(spark, "seen")).collect()
+        }
+        assert merged == full
+    docs.unpersist()
+
+
 def test_politeness_budget_and_order(spark):
     rows = [
         # (url, priority, seq) — one busy host, one quiet host
