@@ -365,12 +365,14 @@ def run_generation(
         .select(*FRONTIER_COLS)
         .persist()
     )
-    n_discovered = discovered.count()
     new_base = filter_unseen(
         discovered, seen, use_bloom=use_bloom, materialize=True, bloom=bloom_df
     )
     new_rows = new_base.select(*FRONTIER_COLS)
     n_new = new_base.materialized_count
+    # counted AFTER the materialize job above fills the discovered cache —
+    # counting first would run the fetch-join + dedupe lineage twice
+    n_discovered = discovered.count()
 
     # scheduled rows are fetched within the generation → status done
     finished = scheduled.withColumn("status", F.lit("done"))
