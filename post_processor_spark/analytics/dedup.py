@@ -102,14 +102,34 @@ def minhash_lsh_candidates(
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 1, threshold: float = 0.5,
+    n: int = 1, threshold: float = 0.5, max_df: int | None = 100_000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard over all pairs sharing ≥1 surviving shingle.
 
     (id_a, id_b, jaccard) — the verification step after LSH, or a full
-    exact pass at small scale. Shuffle is bounded by the shingle
-    inverted index (hot shingles should be stopword-filtered upstream)."""
+    exact pass at small scale.
+
+    max_df caps hot shingles: a shingle appearing in more than max_df
+    docs (a stopword, boilerplate) produces O(df^2) pairs in the
+    inverted-index self-join — one degenerate shingle at corpus scale is
+    the whole shuffle. Shingles above the cap are dropped from the
+    REPRESENTATION (index and sizes both), so the returned jaccard is
+    exact over the df-filtered shingle universe — self-consistent and
+    oracle-expressible, never a silently wrong count. Pairs similar ONLY
+    through dropped mega-df shingles are not reported (by design — such
+    shingles carry no dedup signal). max_df=None disables the cap."""
     sh = shingles(docs, text_col, id_col, n)
+    if max_df is not None:
+        # hot list is tiny BY CONSTRUCTION (few shingles exceed the cap)
+        # → broadcast anti-join; the df agg shrinks map-side to one row
+        # per distinct shingle per mapper
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -180,35 +200,107 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     return pairs
 
 
+def _unit_vectors(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(_id, _unit) — pre-normalize ONCE per vector; computing cosine per
+    pair would re-derive both norms n^2 times."""
+    from . import similarity
+
+    norm = similarity._norm(F.col(vec_col))
+    return vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x / norm).alias("_unit"),
+    )
+
+
+def _grid_projection(unit_col, d: int, seed: int):
+    """Dot with the d-th deterministic pseudo-random UNIT vector (xxhash64
+    coefficients, normalized) — model-free, identical on every executor.
+    The direction's length tracks each row's vector (F.size) so mixed or
+    unknown dimensionality needs no config."""
+    raw = F.transform(
+        F.sequence(F.lit(0), F.size(unit_col) - 1),
+        lambda i: F.pmod(F.xxhash64(F.lit(seed), F.lit(d), i), F.lit(10_000)).cast(
+            "double"
+        )
+        / 10_000.0
+        - 0.5,
+    )
+    nrm = F.sqrt(F.aggregate(F.transform(raw, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return F.aggregate(
+        F.zip_with(unit_col, raw, lambda x, c: x * c), F.lit(0.0), lambda s, v: s + v
+    ) / nrm
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_projections: int = 2,
+    seed: int = 271,
+    method: str = "grid",
 ) -> DataFrame:
-    """(id_a, id_b, cosine) — exact embedding-cosine near-duplicate pairs
+    """(id_a, id_b, cosine) — EXACT embedding-cosine near-duplicate pairs
     with id_a < id_b and cosine >= threshold.
 
-    This is the exact baseline (self-join bounded by the id_a < id_b
-    predicate). At corpus scale, prune candidates first with the
-    hyperplane-LSH buckets in `similarity` (same signature → same
-    bucket → same candidate pair set at high thresholds), then verify
-    pairs with this exact cosine.
-    """
+    Default path ('grid') is bucketed with a completeness GUARANTEE — it
+    returns exactly the all-pairs answer without an all-pairs join:
+    unit vectors with cosine >= t are within chord r = sqrt(2-2t), and by
+    Cauchy-Schwarz their projections onto any unit vector differ by <= r.
+    Each vector is projected onto n_projections deterministic unit
+    directions, assigned grid cells of width r, and emitted to the 2^D
+    corner cells (cell_d + {0,1} per dimension), so every qualifying pair
+    shares at least one bucket tuple. Candidates = bucket equi-join
+    (shuffle hash/SMJ — Catalyst's choice), verified with exact cosine.
+    Pruning power grows with the threshold (r shrinks); at low thresholds
+    the cells are wide and the join degrades gracefully toward dense
+    buckets while STAYING an equi-join — never a BNLJ/cartesian.
+
+    method='exact' keeps the theta-join baseline (oracle/debug only —
+    O(n^2) at corpus scale)."""
     from . import similarity
 
-    # pre-normalize ONCE per vector — computing cosine per pair would
-    # re-derive both norms n^2 times
-    norm = similarity._norm(F.col(vec_col))
-    unit = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x / norm).alias("_unit"),
-    )
-    a = unit.select(F.col("_id").alias("id_a"), F.col("_unit").alias("_va"))
-    b = unit.select(F.col("_id").alias("id_b"), F.col("_unit").alias("_vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    unit = _unit_vectors(vectors, id_col, vec_col)
     sim = similarity._dot(F.col("_va"), F.col("_vb"))
+
+    if method == "exact":
+        a = unit.select(F.col("_id").alias("id_a"), F.col("_unit").alias("_va"))
+        b = unit.select(F.col("_id").alias("id_b"), F.col("_unit").alias("_vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.select("id_a", "id_b", sim.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    # cell width: chord bound, slightly inflated so a pair at EXACTLY the
+    # threshold can't straddle two non-adjacent cells through float round
+    r = max((2.0 - 2.0 * threshold), 0.0) ** 0.5 * (1.0 + 1e-9) + 1e-12
+    cells = [
+        F.floor(_grid_projection(F.col("_unit"), d, seed) / F.lit(r)).cast("long")
+        for d in range(n_projections)
+    ]
+    # 2^D corner keys per vector: all combos of cell_d + {0,1}
+    corners = F.array(*[
+        F.concat_ws(
+            ",", *[(cells[d] + (1 if (c >> d) & 1 else 0)).cast("string")
+                   for d in range(n_projections)]
+        )
+        for c in range(1 << n_projections)
+    ])
+    bucketed = unit.select("_id", "_unit", F.explode(corners).alias("_bucket"))
+    a = bucketed.select(
+        F.col("_id").alias("id_a"), F.col("_unit").alias("_va"), "_bucket"
+    )
+    b = bucketed.select(
+        F.col("_id").alias("id_b"), F.col("_unit").alias("_vb"), "_bucket"
+    )
+    cand = (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])  # a pair can share several corners
+    )
     return (
-        pairs.select("id_a", "id_b", sim.alias("cosine"))
+        cand.select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

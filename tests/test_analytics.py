@@ -45,6 +45,41 @@ def test_ngram_jaccard(spark):
     assert 0.7 <= got[("d1", "d4")] < 1.0
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A degenerate shared shingle must not produce O(n^2) pairs when the
+    df cap is on; the cap drops it from the representation consistently."""
+    rows = [(f"d{i}", f"common unique{i}a unique{i}b") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    uncapped = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.1, max_df=None)
+    assert uncapped.count() == 40 * 39 // 2  # every pair shares 'common'
+    capped = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.1, max_df=5)
+    assert capped.count() == 0  # no doc pair shares a surviving shingle
+    # a cap that nothing exceeds must be a no-op (exactness preserved)
+    same = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.1, max_df=100)
+    assert same.count() == uncapped.count()
+
+
+def test_embedding_neardup_grid_matches_exact(spark):
+    """The default grid-bucketed path must return EXACTLY the all-pairs
+    answer (its corner-cell emission guarantees completeness) without an
+    all-pairs join in the plan."""
+    import math
+    rows = [
+        (i, [math.cos(i * 0.17 + d * 0.9) for d in range(8)]) for i in range(80)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for thr in (0.35, 0.8, 0.95):
+        grid = dedup.embedding_neardup_pairs(vecs, threshold=thr)
+        exact = dedup.embedding_neardup_pairs(vecs, threshold=thr, method="exact")
+        g = sorted((r["id_a"], r["id_b"], round(r["cosine"], 9)) for r in grid.collect())
+        e = sorted((r["id_a"], r["id_b"], round(r["cosine"], 9)) for r in exact.collect())
+        assert g == e, f"threshold {thr}: grid {len(g)} vs exact {len(e)}"
+        assert len(e) > 0  # non-vacuous at every tested threshold
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_simhash_near_dups(spark):
     docs = _docs(spark).filter("text != ''")
     sig = dedup.simhash(docs)
