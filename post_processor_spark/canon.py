@@ -20,24 +20,97 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Pinned snapshot of multi-label public suffixes (public-suffix list is
-# public data; this subset covers the common ccTLD second-level registries).
-# Single-label TLDs fall through to the default rule (last label).
-_TWO_LEVEL_SUFFIXES = [
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br", "gov.br",
-    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "co.nz", "net.nz", "org.nz", "govt.nz",
-    "co.za", "org.za", "net.za", "gov.za",
-    "com.mx", "org.mx", "net.mx",
-    "com.ar", "com.tr", "com.sg", "com.hk", "com.tw", "com.my",
-    "co.kr", "or.kr", "co.il", "org.il", "gov.il", "ac.il",
-    "com.eg", "com.sa", "com.pk", "com.bd", "com.ng", "co.ke",
-    "com.ua", "com.ru", "com.pl", "com.gr", "com.pt", "com.es",
+# Pinned snapshot of the public suffix list's ICANN-section structure
+# (the PSL is public data; no network in this sandbox, so the rules are
+# generated from its well-known shape instead of fetched). Three rule
+# kinds, mirroring PSL semantics as tldextract applies them
+# (processor_domain.py:40-50 uses tldextract's DEFAULT config, which
+# EXCLUDES the private-domain section — so platform suffixes like
+# github.io fall through to the normal last-label rule, and
+# foo.github.io → registrable github.io without any special case):
+#   1. explicit two-label suffixes (generated registry cross-product +
+#      country specials),
+#   2. wildcard TLDs (*.tld: ANY second-level label is part of the
+#      suffix),
+#   3. wildcard exceptions (!www.ck: registrable despite the wildcard).
+# TLDs not listed fall through to the default single-label rule.
+
+# ccTLDs whose registries use the generic second-level labels
+_GENERIC_SL = ["com", "net", "org", "edu", "gov", "mil", "ac", "co"]
+_GENERIC_CC = [
+    "af", "ag", "ai", "al", "ao", "ar", "au", "az", "ba", "bb", "bh",
+    "bn", "bo", "br", "bs", "bt", "bw", "by", "bz", "ci", "cn", "co",
+    "cr", "cu", "cy", "do", "dz", "ec", "eg", "es", "et", "ge", "gh",
+    "gi", "gn", "gr", "gt", "hk", "hn", "ht", "id", "il", "in", "iq",
+    "ir", "jo", "ke", "kg", "kw", "ky", "kz", "lb", "lk", "lr", "ls",
+    "lv", "ly", "ma", "mg", "mk", "ml", "mo", "mt", "mu", "mv", "mw",
+    "mx", "my", "mz", "na", "ng", "ni", "nr", "om", "pa", "pe", "ph",
+    "pk", "pl", "pr", "ps", "pt", "py", "qa", "ro", "rs", "rw", "sa",
+    "sb", "sc", "sd", "sg", "sl", "sn", "sv", "sy", "th", "tj", "tn",
+    "tr", "tt", "tw", "tz", "ua", "ug", "uy", "uz", "vc", "ve", "vi",
+    "vn", "ye", "zm", "zw",
 ]
+# country-specific second-level sets that differ from the generic shape
+_SPECIAL_SUFFIXES = [
+    # uk
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "ltd.uk", "plc.uk", "nhs.uk", "police.uk", "mod.uk",
+    # jp (geographic wildcards not modeled; registries are)
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    # kr
+    "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+    # nz
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz", "iwi.nz", "health.nz",
+    "mil.nz", "parliament.nz", "cri.nz",
+    # au extras
+    "id.au", "asn.au", "csiro.au",
+    # za
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "edu.za", "web.za",
+    "mil.za", "nom.za", "school.za",
+    # in extras
+    "gen.in", "firm.in", "ind.in", "nic.in", "res.in",
+    # br extras (large registry; commonest)
+    "adv.br", "arq.br", "art.br", "blog.br", "eco.br", "emp.br",
+    "eng.br", "esp.br", "far.br", "flog.br", "fm.br", "g12.br",
+    "imb.br", "ind.br", "inf.br", "jor.br", "jus.br", "leg.br",
+    "med.br", "mp.br", "mus.br", "not.br", "ntr.br", "odo.br",
+    "ppg.br", "pro.br", "psc.br", "psi.br", "qsl.br", "radio.br",
+    "rec.br", "slg.br", "srv.br", "taxi.br", "teo.br", "tmp.br",
+    "trd.br", "tur.br", "tv.br", "vet.br", "vlog.br", "wiki.br",
+    "zlg.br",
+    # cn extras
+    "ah.cn", "bj.cn", "cq.cn", "fj.cn", "gd.cn", "gs.cn", "gx.cn",
+    "gz.cn", "ha.cn", "hb.cn", "he.cn", "hi.cn", "hl.cn", "hn.cn",
+    "jl.cn", "js.cn", "jx.cn", "ln.cn", "nm.cn", "nx.cn", "qh.cn",
+    "sc.cn", "sd.cn", "sh.cn", "sn.cn", "sx.cn", "tj.cn", "tw.cn",
+    "xj.cn", "xz.cn", "yn.cn", "zj.cn",
+    # misc singletons seen widely
+    "com.ua", "gov.ua", "edu.ua", "net.ua", "org.ua",
+    "com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru", "spb.ru",
+    "waw.pl", "wroc.pl", "krakow.pl", "poznan.pl", "gda.pl",
+    "edu.pl", "net.pl", "org.pl", "gov.pl", "info.pl", "biz.pl",
+    "tm.fr", "asso.fr", "nom.fr", "gouv.fr", "com.fr",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "co.hu", "org.hu", "info.hu", "priv.hu",
+    "co.it", "edu.it", "gov.it",
+    "co.nl",
+    "com.se", "org.se", "pp.se",
+    "co.dk",
+    "com.de", "com.ch",
+    "ac.be",
+    "co.im", "co.gg", "co.je",
+]
+_TWO_LEVEL_SUFFIXES = sorted(
+    {f"{sl}.{cc}" for cc in _GENERIC_CC for sl in _GENERIC_SL}
+    | set(_SPECIAL_SUFFIXES)
+)
+# *.tld — every second-level label belongs to the suffix
+_WILDCARD_TLDS = ["bd", "ck", "er", "fj", "fk", "jm", "kh", "mm", "np", "pg"]
+# !exceptions — registrable despite the wildcard
+_WILDCARD_EXCEPTIONS = ["www.ck"]
 
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*):(//)?"
 # applied only to the short pre-colon token, never the full URL
@@ -106,14 +179,23 @@ def _host_labels(host: Column) -> Column:
 
 
 def _suffix_len(host: Column) -> Column:
-    """1 or 2: number of labels belonging to the public suffix."""
+    """1 or 2: number of labels belonging to the public suffix.
+
+    PSL semantics: explicit two-label suffixes, wildcard TLDs (*.tld),
+    and wildcard exceptions (!www.ck → registrable). Evaluation order
+    matches the PSL: exceptions beat wildcards beat explicit rules."""
     labels = _host_labels(host)
     n = F.size(labels)
+    tld = F.element_at(labels, -1)
     last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
     two = F.lit(_TWO_LEVEL_SUFFIXES)
-    return F.when((n >= 3) & F.array_contains(two, last2), F.lit(2)).otherwise(
-        F.lit(1)
+    wild = F.lit(_WILDCARD_TLDS)
+    exc = F.lit(_WILDCARD_EXCEPTIONS)
+    is_two = (n >= 3) & (
+        F.array_contains(two, last2)
+        | (F.array_contains(wild, tld) & ~F.array_contains(exc, last2))
     )
+    return F.when(is_two, F.lit(2)).otherwise(F.lit(1))
 
 
 def registrable_domain(host: Column) -> Column:

@@ -89,10 +89,16 @@ def _doc_side(documents: DataFrame, docs_meta: DataFrame, persist: bool = False)
     persist=True caches the documents⋈meta join — it feeds three
     consumers (link rows, mention rows, text surface) and six match
     branches; without caching each branch re-scans and re-joins."""
+    html_col = (
+        F.coalesce(F.col("html_content"), F.lit(""))
+        if "html_content" in docs_meta.columns
+        else F.lit("")
+    )
     meta = docs_meta.select(
         "doc_id", "url", "doc_type", "domain", "seq",
         tld_parts(F.col("domain")).alias("doc_tld"),
         _handle_norm(F.col("domain")).alias("doc_handle_norm"),
+        html_col.alias("_html"),
     )
     d = documents.join(meta, "doc_id")
     if persist:
@@ -120,23 +126,29 @@ def _doc_side(documents: DataFrame, docs_meta: DataFrame, persist: bool = False)
             F.col("s.offset").alias("span_off"),
         )
     )
-    # alias/handle text search surface: for articles the reference scans
-    # html_content (text + anchor texts in our span model — documented
-    # deviation: markup itself is not searched); for tweets, article_text
-    # (text spans only).
+    # alias/handle text search surface. For articles the reference scans
+    # the WHOLE html_content string — markup, attributes and all
+    # (processor_domain.py:67-76,79-87) — so when ingest carried the raw
+    # html on the meta row, that is the surface. Documents without raw
+    # html (span-only corpora) fall back to text + anchor-text spans, the
+    # closest span-model surface (markup not searched — documented).
+    # Tweets always use article_text (text spans, processor_twitter.py:71).
+    span_surface = F.array_join(
+        F.transform(
+            F.filter(
+                "spans",
+                lambda s: (s["kind"] == "text")
+                | ((s["kind"] == "link") & (F.col("doc_type") == "article")),
+            ),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
     doc_text = d.select(
         "doc_id", "doc_type", "doc_tld", "doc_handle_norm",
-        F.array_join(
-            F.transform(
-                F.filter(
-                    "spans",
-                    lambda s: (s["kind"] == "text")
-                    | ((s["kind"] == "link") & F.lit(True) & (F.col("doc_type") == "article")),
-                ),
-                lambda s: s["text"],
-            ),
-            " ",
-        ).alias("match_text"),
+        F.when(
+            (F.col("doc_type") == "article") & (F.col("_html") != ""), F.col("_html")
+        ).otherwise(span_surface).alias("match_text"),
     )
     return link_rows, mention_rows, doc_text
 

@@ -150,6 +150,7 @@ def domain_docs_meta(raw: DataFrame) -> DataFrame:
                     "author": pdf.get("author", "").fillna(""),
                     "date": pdf.get("date", "").fillna(""),
                     "article_text": pdf.get("article_text", "").fillna(""),
+                    "html_content": pdf.get("html_content", "").fillna(""),
                     "retweet_count": 0,
                     "reply_count": 0,
                     "like_count": 0,
@@ -177,6 +178,7 @@ def twitter_docs_meta(raw: DataFrame) -> DataFrame:
                     "author": pdf.get("author", "").fillna(""),
                     "date": pdf.get("date", "").fillna(""),
                     "article_text": pdf.get("article_text", "").fillna(""),
+                    "html_content": "",
                     "retweet_count": pdf.get("retweet_count", 0).fillna(0).astype("int64"),
                     "reply_count": pdf.get("reply_count", 0).fillna(0).astype("int64"),
                     "like_count": pdf.get("like_count", 0).fillna(0).astype("int64"),

@@ -36,6 +36,11 @@ DOCS_META = T.StructType(
         T.StructField("author", T.StringType(), True),
         T.StructField("date", T.StringType(), True),
         T.StructField("article_text", T.StringType(), True),
+        # raw markup match surface: the reference scans the WHOLE
+        # html_content string for aliases/handles — tags and attributes
+        # included (processor_domain.py:67-76,79-87). Carried on the meta
+        # row so the span table stays the canonical input_hint shape.
+        T.StructField("html_content", T.StringType(), True),
         T.StructField("retweet_count", T.LongType(), True),
         T.StructField("reply_count", T.LongType(), True),
         T.StructField("like_count", T.LongType(), True),

@@ -34,6 +34,31 @@ def test_registrable_domain(spark):
     assert got == ["aljazeera.com", "bbc.co.uk", "bbc.co.uk", "com", "example.org"]
 
 
+def test_registrable_domain_psl_snapshot(spark):
+    """tldextract-parity cases over the pinned PSL snapshot: generated
+    ccTLD registries, country specials, wildcard TLDs + exceptions, and
+    the default rule (reference uses tldextract's default config, which
+    excludes PSL private domains — so github.io is NOT a suffix)."""
+    cases = [
+        ("x.co.id", "x.co.id"),              # generated com/co cross-product
+        ("a.com.vn", "a.com.vn"),
+        ("shop.example.com.tr", "example.com.tr"),
+        ("foo.github.io", "github.io"),      # default rule (private excluded)
+        ("b.blogspot.com", "blogspot.com"),  # same
+        ("x.gouv.fr", "x.gouv.fr"),          # country special
+        ("a.waw.pl", "a.waw.pl"),
+        ("s.co.at", "s.co.at"),
+        ("foo.bar.ck", "foo.bar.ck"),        # wildcard *.ck
+        ("a.foo.bar.ck", "foo.bar.ck"),
+        ("foo.www.ck", "www.ck"),            # exception !www.ck
+        ("x.anything.mm", "x.anything.mm"),  # wildcard *.mm
+        ("plain.example.com", "example.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [r[0] for r in df.select(canon.registrable_domain(F.col("h"))).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_tld_parts_equality_matches_reference_skip(spark):
     # self-citation skip compares full tldextract triples
     # (processor_domain.py:43-45): www.aljazeera.com == www.aljazeera.com,

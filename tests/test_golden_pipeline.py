@@ -126,6 +126,56 @@ def test_tweet_citations(pipeline_result):
     assert t4["found_aliases"] == ["@IsraelinIndia"]
 
 
+def test_alias_in_markup_matches_reference_surface(spark):
+    """The reference scans the WHOLE html_content for aliases/handles —
+    attributes included (processor_domain.py:67-76,79-87). An alias that
+    appears ONLY inside a title= attribute must therefore match when the
+    raw html rides on the meta row, and must NOT match on a span-only
+    corpus (the documented fallback surface)."""
+    rows = [
+        {
+            "seq": 0,
+            "url": "https://example.org/markup",
+            "title": "t", "author": "", "date": "",
+            "html_content": (
+                '<p>nothing to see</p>'
+                '<img title="Al Jazeera" src="x.png">'
+                # reference quirk preserved: M3's pattern is '@' + the
+                # verbatim scope handle, so an @-prefixed scope handle
+                # ('@IsraelinIndia') only matches a double-@ occurrence
+                # (processor_domain.py:82)
+                '<span data-by="@@IsraelinIndia ">.</span>'
+            ),
+            "article_text": "nothing to see",
+            "domain": "https://example.org/",
+            "found_urls": [],
+        }
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        schema=(
+            "seq long, url string, title string, author string, date string,"
+            " html_content string, article_text string, domain string,"
+            " found_urls array<struct<title:string,url:string>>"
+        ),
+    )
+    documents = ingest.domain_docs_to_documents(raw)
+    meta = ingest.domain_docs_meta(raw)
+    scope = fixtures.golden_scope(spark)
+    out = citations.run_pipeline(documents, meta, scope, scope)
+    row = {r["url"]: r.asDict() for r in out.collect()}["https://example.org/markup"]
+    assert "Al Jazeera" in row["citation_url_or_text_alias"]
+    assert "@IsraelinIndia" in row["citation_url_or_text_alias"]
+    # span-only corpus (no html on the meta row): markup is not searched
+    out2 = citations.run_pipeline(
+        documents, meta.drop("html_content"), scope, scope
+    )
+    rows2 = {r["url"]: r.asDict() for r in out2.collect()}
+    assert "https://example.org/markup" not in rows2 or (
+        "Al Jazeera" not in rows2["https://example.org/markup"]["citation_url_or_text_alias"]
+    )
+
+
 def test_referrals(pipeline_result):
     rows, _ = pipeline_result
     # article A is cited by tweet2 (its found_urls contains URL_ART)

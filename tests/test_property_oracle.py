@@ -80,7 +80,9 @@ def test_pipeline_matches_oracle(spark, data):
         [(d["doc_id"], d["spans"]) for d in docs], DOCUMENTS
     )
     meta = spark.createDataFrame(
-        [tuple(d[f.name] for f in DOCS_META.fields) for d in docs], DOCS_META
+        # span-only corpus: no raw html surface (html_content defaults '')
+        [tuple(d.get(f.name, "") for f in DOCS_META.fields) for d in docs],
+        DOCS_META,
     )
     scope_df = spark.createDataFrame(
         [
