@@ -591,7 +591,9 @@ def _q_robots_gate(spark, sf):
 
 
 def _q_minhash_candidates(spark, sf):
-    d = _t(spark, sf, "documents")
+    # testdata parquet is single-row-group → a 1-task scan would serialize
+    # the shingling; spread the scan-bound stage across the cluster
+    d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     sig = dedup.minhash_signatures(d, num_hashes=32, shingle_n=3)
     return dedup.minhash_lsh_candidates(sig, bands=8, rows_per_band=4).orderBy("id_a", "id_b")
 

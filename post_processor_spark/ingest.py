@@ -54,64 +54,74 @@ def _domain_spans_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     Span order per FIXTURES.md §3: article_text first, then anchors in
     html_content document order, then found_urls entries not already seen
     as anchors (order preserved)."""
-    out_ids, out_spans = [], []
     html = pdf["html_content"].fillna("").astype(str)
     anchors = html.str.extractall(_ANCHOR_RE)  # vectorized across the batch
-    ids = _uuid5(pdf["url"])
-    for i, (row_idx, row) in enumerate(pdf.iterrows()):
+    # (url, anchor_text) list per source row — grouped assembly, no
+    # per-match iterrows
+    if len(anchors):
+        a_lists = {
+            idx: list(zip(g[0].tolist(), g[1].tolist()))
+            for idx, g in anchors.groupby(level=0)
+        }
+    else:
+        a_lists = {}
+    ids = _uuid5(pdf["url"]).tolist()
+    texts = (
+        pdf["article_text"].fillna("").astype(str).tolist()
+        if "article_text" in pdf
+        else [""] * len(pdf)
+    )
+    fus = pdf["found_urls"].tolist() if "found_urls" in pdf else [None] * len(pdf)
+    out_spans = []
+    for row_idx, text, fu_list in zip(pdf.index, texts, fus):
         spans = []
         off = 0
-        text = row.get("article_text") or ""
         if text:
             spans.append({"kind": "text", "text": text, "media_ref": "", "offset": off})
             off += 1
         seen_urls = set()
-        if row_idx in anchors.index.get_level_values(0):
-            for _, m in anchors.loc[[row_idx]].iterrows():
-                spans.append(
-                    {
-                        "kind": "link",
-                        "text": m[1],
-                        "media_ref": m[0],
-                        "offset": off,
-                    }
-                )
-                seen_urls.add(m[0])
-                off += 1
-        for fu in _aslist(row.get("found_urls")):
+        for u, t in a_lists.get(row_idx, ()):
+            spans.append({"kind": "link", "text": t, "media_ref": u, "offset": off})
+            seen_urls.add(u)
+            off += 1
+        for fu in _aslist(fu_list):
             u = fu["url"]
             t = fu.get("title", "") if isinstance(fu, dict) else (fu["title"] or "")
             if u not in seen_urls:
                 spans.append({"kind": "link", "text": t, "media_ref": u, "offset": off})
                 off += 1
-        out_ids.append(ids.iloc[i])
         out_spans.append(spans)
-    return pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+    return pd.DataFrame({"doc_id": ids, "spans": out_spans})
 
 
 def _twitter_spans_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Tweet rows → spans: text, then found_urls order, then mentions
     (FIXTURES.md §4; reference field order load_input.py:108-127,200)."""
-    out_ids, out_spans = [], []
-    ids = _uuid5(pdf["url"])
-    for i, (_, row) in enumerate(pdf.iterrows()):
+    ids = _uuid5(pdf["url"]).tolist()
+    texts = (
+        pdf["article_text"].fillna("").astype(str).tolist()
+        if "article_text" in pdf
+        else [""] * len(pdf)
+    )
+    fus = pdf["found_urls"].tolist() if "found_urls" in pdf else [None] * len(pdf)
+    mns = pdf["mentions"].tolist() if "mentions" in pdf else [None] * len(pdf)
+    out_spans = []
+    for text, fu_list, m_list in zip(texts, fus, mns):
         spans = []
         off = 0
-        text = row.get("article_text") or ""
         if text:
             spans.append({"kind": "text", "text": text, "media_ref": "", "offset": off})
             off += 1
-        for u in _aslist(row.get("found_urls")):
+        for u in _aslist(fu_list):
             spans.append({"kind": "link", "text": "", "media_ref": str(u), "offset": off})
             off += 1
-        for m in _aslist(row.get("mentions")):
+        for m in _aslist(m_list):
             spans.append(
                 {"kind": "mention", "text": "", "media_ref": "@" + str(m), "offset": off}
             )
             off += 1
-        out_ids.append(ids.iloc[i])
         out_spans.append(spans)
-    return pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+    return pd.DataFrame({"doc_id": ids, "spans": out_spans})
 
 
 def domain_docs_to_documents(raw: DataFrame) -> DataFrame:

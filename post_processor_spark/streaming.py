@@ -54,8 +54,13 @@ def start_frontier_stream(
             unseen_new = new_rows.join(
                 seen.select("url_hash"), "url_hash", "left_anti"
             ).persist()
-            # frontier + seen are delta logs: merging a seed batch is one
-            # atomic append of the genuinely-new rows, not a rewrite
+            # frontier + seen + bloom are delta logs: merging a seed batch
+            # is one atomic append of the genuinely-new rows, not a
+            # rewrite. The bloom delta keeps the incremental bitmap table
+            # consistent with seen — a missing delta would let these keys
+            # pass the bloom as definitely-unseen later.
+            from .seen import build_bloom
+
             store.write_many(
                 [
                     ("frontier", unseen_new.select(*frontier.FRONTIER_COLS), gen_now, "append"),
@@ -67,6 +72,7 @@ def start_frontier_stream(
                         gen_now,
                         "append",
                     ),
+                    ("bloom", build_bloom(unseen_new.select("url_hash")), gen_now, "append"),
                 ]
             )
             unseen_new.unpersist()
@@ -81,11 +87,24 @@ def start_frontier_stream(
     )
 
 
-def metrics_window(metrics: DataFrame, minutes: int = 1) -> DataFrame:
-    """Monitoring: windowed aggregation over per-generation metrics
-    (wall-clock derived from not_before slots is deterministic)."""
+def metrics_window(
+    metrics: DataFrame,
+    minutes: int = 1,
+    budget_per_host: int = 8,
+    crawl_delay_sec: int = 1,
+) -> DataFrame:
+    """Monitoring: windowed aggregation over per-generation metrics,
+    keyed by EVENT time — the deterministic politeness epoch of each
+    generation (epoch(g) = BASE + g*B*delay, the same clock the
+    not_before slots use). A current_timestamp() window would collapse
+    every row into one bucket (all rows evaluate to the same constant)."""
+    epoch = F.timestamp_seconds(
+        F.lit(frontier._BASE_EPOCH)
+        + F.col("generation") * F.lit(budget_per_host * crawl_delay_sec)
+    )
     return (
-        metrics.groupBy(F.window(F.current_timestamp(), f"{minutes} minutes"))
+        metrics.filter(F.col("partition_id") == -1)  # generation totals
+        .groupBy(F.window(epoch, f"{minutes} minutes"))
         .agg(
             F.sum("scheduled").alias("scheduled"),
             F.sum("rows_out").alias("discovered_new"),

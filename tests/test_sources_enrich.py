@@ -124,3 +124,19 @@ def test_streaming_frontier(spark, tmp_path):
     assert store.current_generation("frontier") >= 1
     fr = store.read(spark, "frontier")
     assert fr.filter("status = 'done'").count() > 0
+
+
+def test_metrics_window_groups_by_generation_epoch(spark):
+    from post_processor_spark import streaming
+
+    # three generations at budget=60, delay=1 → epochs 60 s apart → three
+    # distinct 1-minute windows (a constant-timestamp window would yield 1)
+    rows = [(g, -1, 100, 10, 40, 0, 5) for g in (1, 2, 3)]
+    m = spark.createDataFrame(
+        rows,
+        "generation int, partition_id int, rows_in long, rows_out long,"
+        " scheduled long, filtered_seen long, wall_ms long",
+    )
+    out = streaming.metrics_window(m, minutes=1, budget_per_host=60).collect()
+    assert len(out) == 3
+    assert sorted(r["scheduled"] for r in out) == [40, 40, 40]
