@@ -162,6 +162,42 @@ def politeness_schedule(
     return decided.unionByName(shard_overflow)
 
 
+def top_per_host(
+    df: DataFrame,
+    cap: int,
+    salt_parts: int = 16,
+    skew_threshold: int | None = None,
+) -> DataFrame:
+    """EXACT top-`cap` rows per host in crawl order, skew-adaptively (the
+    same two-phase salted pattern as politeness_schedule: shard pre-rank
+    caps any single sort partition, global rank finalizes ≤cap*S rows).
+    Used to maintain the scheduler head cache."""
+    if skew_threshold is None:
+        skew_threshold = max(cap * salt_parts, 4096)
+    big_hosts = (
+        df.groupBy("host_hash")
+        .count()
+        .filter(F.col("count") > skew_threshold)
+        .select("host_hash")
+    )
+    norm = df.join(F.broadcast(big_hosts), "host_hash", "left_anti")
+    big = df.join(F.broadcast(big_hosts), "host_hash", "left_semi")
+    salt = F.pmod(F.col("url_hash"), F.lit(salt_parts))
+    w_shard = Window.partitionBy("host_hash", salt).orderBy(*ORDER_COLS)
+    survivors = (
+        big.withColumn("_srn", F.row_number().over(w_shard))
+        .filter(F.col("_srn") <= cap)
+        .drop("_srn")
+    )
+    w_host = Window.partitionBy("host_hash").orderBy(*ORDER_COLS)
+    return (
+        norm.unionByName(survivors)
+        .withColumn("_rn", F.row_number().over(w_host))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     """Tag candidates blocked by robots.txt disallow rules (north_rule:
     per-domain politeness with robots budget).
@@ -275,6 +311,7 @@ def run_generation(
     use_bloom: bool = True,
     compact_every: int = 8,
     robots: DataFrame | None = None,
+    head_cache: bool = True,
 ) -> dict:
     """One frontier generation: robots gate → schedule → fetch(sim) →
     expand → dedupe → seen-filter → delta commit. Returns driver-side
@@ -287,7 +324,23 @@ def run_generation(
     The frontier commit is a DELTA (finished + newly discovered rows),
     cost ∝ scheduled+new instead of O(frontier); every `compact_every`
     generations the merged state is compacted into one dir so the
-    read-side delta union and done-key anti-join stay bounded."""
+    read-side delta union and done-key anti-join stay bounded.
+
+    head_cache: schedule from a generation-carried HEAD table — per host
+    the top K·B pending rows in crawl order, K = compact_every+1 — so a
+    non-compaction generation ranks only O(head + new) rows instead of
+    the full pending set (at a 10^10-row frontier, ranking all pending
+    to schedule ~B·hosts rows is the scale-killer). EXACTNESS: a row
+    demoted from the head had ≥ K·B better-ranked rows at its host, at
+    most B of which are scheduled per generation, so it cannot reach the
+    true top-B within the ≤ compact_every (= K-1) generations before the
+    next full refill — and newly discovered rows always merge through
+    the head, so the head's top-B equals the full-pending top-B every
+    generation. The refill rides the compaction pass (which already
+    scans the full delta log). Disabled when compact_every=0. With the
+    head active, the rows_in metric counts the scheduler's input rows
+    (head size), not the full pending set — counting 10^10 pending rows
+    per generation would defeat the point."""
     t0 = time.time()
     frontier = store.read(spark, "frontier").select(*FRONTIER_COLS)
     seen = store.read(spark, "seen")
@@ -303,14 +356,29 @@ def run_generation(
         merge_bloom(bloom_deltas) if (use_bloom and bloom_deltas is not None) else None
     )
 
-    # persist: politeness consumes pending three times (skew census +
-    # norm/big splits) — uncached that's three delta-log re-merges
-    done_keys = frontier.filter(F.col("status") != "pending").select("url_hash")
-    pending = (
-        frontier.filter(F.col("status") == "pending")
-        .join(done_keys, "url_hash", "left_anti")
-        .persist()
-    )
+    is_compact = bool(compact_every) and generation % compact_every == 0
+    use_head = head_cache and bool(compact_every)
+    head_cap = (compact_every + 1) * budget_per_host if use_head else 0
+    head_df = None
+    if use_head and not is_compact:
+        try:
+            head_df = store.read(spark, "head").select(*FRONTIER_COLS)
+        except FileNotFoundError:
+            head_df = None  # first generation / pre-head store → full rank
+
+    if head_df is not None:
+        # head generations never materialize the merge-on-read pending
+        # view at all — the head IS the schedulable set
+        pending = head_df.persist()
+    else:
+        # persist: politeness consumes pending three times (skew census +
+        # norm/big splits) — uncached that's three delta-log re-merges
+        done_keys = frontier.filter(F.col("status") != "pending").select("url_hash")
+        pending = (
+            frontier.filter(F.col("status") == "pending")
+            .join(done_keys, "url_hash", "left_anti")
+            .persist()
+        )
 
     if robots is not None:
         gated = apply_robots(pending, robots).persist()
@@ -442,21 +510,32 @@ def run_generation(
     else:
         frontier_entry = ("frontier", delta, generation, "append")
         bloom_entry = ("bloom", bloom_delta, generation, "append")
-    store.write_many(
-        [
-            frontier_entry,
-            (
-                "seen",
-                new_rows.select(
-                    "url_hash", "host_hash", F.lit(generation).alias("generation")
-                ),
-                generation,
-                "append",
+    writes = [
+        frontier_entry,
+        (
+            "seen",
+            new_rows.select(
+                "url_hash", "host_hash", F.lit(generation).alias("generation")
             ),
-            ("metrics", metrics, generation, "append"),
-            bloom_entry,
-        ]
-    )
+            generation,
+            "append",
+        ),
+        ("metrics", metrics, generation, "append"),
+        bloom_entry,
+    ]
+    if use_head:
+        # head' = top-K·B per host of (this generation's unscheduled
+        # input ∪ new discoveries). On a head generation the input was
+        # the old head (cost O(head+new)); on a refill/compaction
+        # generation it was the full pending view, so this IS the exact
+        # refill. Demoted rows need no write — they already sit in the
+        # frontier delta log as pending.
+        leftover = updated.filter(F.col("status") == "pending").select(*FRONTIER_COLS)
+        head_new = top_per_host(
+            leftover.unionByName(new_rows), head_cap, salt_parts
+        )
+        writes.append(("head", head_new, generation, "snapshot"))
+    store.write_many(writes)
     for h in (updated, pending, discovered, new_base) + ((gated,) if gated is not None else ()):
         h.unpersist()
     return {

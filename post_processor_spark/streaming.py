@@ -61,20 +61,33 @@ def start_frontier_stream(
             # pass the bloom as definitely-unseen later.
             from .seen import build_bloom
 
-            store.write_many(
-                [
-                    ("frontier", unseen_new.select(*frontier.FRONTIER_COLS), gen_now, "append"),
-                    (
-                        "seen",
-                        unseen_new.select(
-                            "url_hash", "host_hash", F.lit(gen_now).alias("generation")
-                        ),
-                        gen_now,
-                        "append",
+            writes = [
+                ("frontier", unseen_new.select(*frontier.FRONTIER_COLS), gen_now, "append"),
+                (
+                    "seen",
+                    unseen_new.select(
+                        "url_hash", "host_hash", F.lit(gen_now).alias("generation")
                     ),
-                    ("bloom", build_bloom(unseen_new.select("url_hash")), gen_now, "append"),
-                ]
-            )
+                    gen_now,
+                    "append",
+                ),
+                ("bloom", build_bloom(unseen_new.select("url_hash")), gen_now, "append"),
+            ]
+            # merge the new seeds into the scheduler head cache too — the
+            # head must see every pending row that could make a host's
+            # top-B before the next full refill
+            try:
+                head = store.read(spark, "head").select(*frontier.FRONTIER_COLS)
+                cap = (sched_kwargs.get("compact_every", 8) + 1) * sched_kwargs.get(
+                    "budget_per_host", 8
+                )
+                merged = frontier.top_per_host(
+                    head.unionByName(unseen_new.select(*frontier.FRONTIER_COLS)), cap
+                )
+                writes.append(("head", merged, gen_now, "snapshot"))
+            except FileNotFoundError:
+                pass  # no head yet — next generation builds it from pending
+            store.write_many(writes)
             unseen_new.unpersist()
         frontier.run_generation(spark, store, documents, gen_now + 1, **sched_kwargs)
 

@@ -219,6 +219,62 @@ def test_compaction_preserves_state_and_resume(spark):
         assert more_a[0]["new"] == more_b[0]["new"]
 
 
+def test_head_cache_schedules_exactly_like_full_rank(spark):
+    """The head cache must schedule EXACTLY the rows a full-pending rank
+    would, per generation, including hosts whose backlog overflows the
+    head (cap K·B = (compact_every+1)·B = 6 here vs a 40-row host)."""
+    docs = fixtures.synthetic_documents(spark, 500, n_hosts=8, seed=41).persist()
+    # one mega-host backlog: many seeds on host0, few elsewhere
+    seeds = docs.select(
+        "url", F.lit(1).alias("priority"), F.col("seq")
+    ).limit(120)
+    results = {}
+    for mode in (True, False):
+        with tempfile.TemporaryDirectory() as d:
+            store = SnapshotStore(d)
+            out = frontier.run_generations(
+                spark, store, docs, seeds, n_generations=7, budget_per_host=2,
+                use_bloom=False, compact_every=2, head_cache=mode,
+            )
+            done = sorted(
+                r["url_hash"]
+                for r in store.read(spark, "frontier")
+                .filter("status = 'done'")
+                .select("url_hash")
+                .collect()
+            )
+            results[mode] = ([(g["scheduled"], g["new"]) for g in out[1:]], done)
+    assert results[True][0] == results[False][0]
+    assert results[True][1] == results[False][1]
+    docs.unpersist()
+
+
+def test_head_cache_resume_identical(spark):
+    """Resume must restore the head snapshot: continuing a head-cache run
+    schedules the same rows as the uninterrupted run."""
+    docs = fixtures.synthetic_documents(spark, 300, n_hosts=10, seed=43).persist()
+    seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq")).limit(60)
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        s_full = SnapshotStore(d1)
+        full = frontier.run_generations(
+            spark, s_full, docs, seeds, n_generations=5, budget_per_host=3,
+            use_bloom=False, compact_every=2,
+        )
+        s_resume = SnapshotStore(d2)
+        frontier.run_generations(
+            spark, s_resume, docs, seeds, n_generations=3, budget_per_host=3,
+            use_bloom=False, compact_every=2,
+        )
+        resumed = frontier.run_generations(
+            spark, s_resume, docs, None, n_generations=2, start_generation=3,
+            budget_per_host=3, use_bloom=False, compact_every=2,
+        )
+        assert [(g["scheduled"], g["new"]) for g in full[4:]] == [
+            (g["scheduled"], g["new"]) for g in resumed
+        ]
+    docs.unpersist()
+
+
 def test_apply_robots(spark):
     rows = [
         ("https://a.com/private/x", 5, 0),
