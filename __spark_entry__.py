@@ -540,6 +540,18 @@ def _q_frontier_schedule(spark, sf):
     )
 
 
+def _q_head_topk(spark, sf):
+    """top_per_host — the scheduler head-cache kernel (exact top-cap rows
+    per host in crawl order, skew-adaptive two-phase rank) —
+    ORACLE-CHECKED: the salted shard pre-rank is an optimization whose
+    result must equal a plain per-host window row_number() <= cap.
+    skew_threshold=50 forces the mega-host through the salted path."""
+    seeds = _frontier_seed_docs(spark, sf)
+    pending = frontier.seeds_to_frontier(seeds)
+    head = frontier.top_per_host(pending, cap=12, skew_threshold=50)
+    return head.select("url", "host", "priority").orderBy("url")
+
+
 def _q_seen_filter(spark, sf):
     """Bloom-prefiltered + exact-resolved URL-seen filter — ORACLE-CHECKED:
     the bloom is a bypass optimization; the result must equal the plain
@@ -662,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scope_gate": _q_scope_gate,
         # frontier core (oracle-checked: results are exact windows/anti-joins)
         "q_frontier_schedule": _q_frontier_schedule,
+        "q_head_topk": _q_head_topk,
         "q_seen_filter": _q_seen_filter,
         "q_robots_gate": _q_robots_gate,
         # rows-only (non-SQL-expressible)
@@ -944,6 +957,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, host,
                    make_timestamp((1700000008 + (rn - 1)) * 1000000) AS not_before
             FROM ranked WHERE rn <= 8 ORDER BY url
+        """,
+        "q_head_topk": """
+            WITH seeds AS (
+              SELECT 'https://host'
+                       || CAST(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
+                       || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     'host' || CAST(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
+                       || '.example.com' AS host,
+                     CAST((doc_id * 13) % 10 AS INTEGER) AS priority,
+                     doc_id AS seq
+              FROM documents
+            )
+            SELECT url, host, priority FROM (
+              SELECT url, host, priority,
+                     row_number() OVER (PARTITION BY host ORDER BY priority, seq) AS rn
+              FROM seeds
+            ) WHERE rn <= 12 ORDER BY url
         """,
         "q_seen_filter": """
             SELECT 'https://host'

@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd over lz4: the shuffle-heavy frontier pass is DRAM-bandwidth
+        # bound (shuffle files live in /dev/shm), and zstd's better ratio
+        # trades cheap CPU for scarce bandwidth — measured faster at both
+        # local[4] (+5%) and local[16] (+10%) on the 5M-URL pass. On a
+        # real cluster the same trade shrinks network shuffle bytes.
+        .config("spark.io.compression.codec", "zstd")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

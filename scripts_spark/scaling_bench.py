@@ -9,7 +9,7 @@ physical cores (raw ceiling ~0.93 measured), so local[4] vs local[16] is
 the honest N→4N proxy; the calibration numbers are reported alongside.
 
 Runs the frontier-scheduling throughput job in fresh subprocess JVMs at
-both parallelism levels (warm-up pass + best-of-3 measured reps each)
+both parallelism levels (warm-up pass + best-of-4 measured reps each)
 and writes BENCH/BASELINE.md.
 
 Usage: python scripts_spark/scaling_bench.py [n_urls] [n_rounds]
@@ -37,7 +37,7 @@ cores = int(sys.argv[1]); n_urls = int(sys.argv[2])
 spark = get_spark(cores=cores, app_name=f"scaling-{cores}", shuffle_partitions=cores*2)
 frontier_throughput(spark, 50000)   # warm-up: JVM, codegen, python workers
 best = {"rate": 0.0, "scheduled": 0}
-for _ in range(3):
+for _ in range(4):
     rate, n = frontier_throughput(spark, n_urls)
     if rate > best["rate"]:
         best = {"rate": rate, "scheduled": n}
@@ -150,7 +150,7 @@ scheduling job — seeds → canonicalize → in-batch dedupe → partitioned-
 bloom + exact seen filter → skew-adaptive salted per-host politeness
 top-B — at local[{N_LO}] vs local[{N_HI}] on the same {n_urls:,}-URL
 input (30% of URLs on one mega-host), fresh JVM each, warm-up pass +
-best-of-3 measured reps.
+best-of-4 measured reps.
 
 Hardware calibration (this box, measured fresh each run): nproc reports
 32 but the cores are SMT threads of ~16 physical cores, and — decisive

@@ -54,6 +54,28 @@ def test_csv_sink_stringifies_arrays(spark, tmp_path):
     assert '"[\\"x\\",\\"y\\"]"' in body
 
 
+def test_reshape_hit_record(spark):
+    """P22: Mini-Processor 'Hit Record' layout (Mini-Processor.py:35-58):
+    column renames + literal source injection with '@' prefixing."""
+    rows = [
+        ("https://t.co/1", "@handle", "au", "text one", "2020-01-01",
+         ["a"], ["https://x.com/"]),
+        ("https://t.co/2", "bare", "bu", "text two", "2020-01-02", [], []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, domain string, author string, article_text string,"
+        " date string, mentions array<string>, found_urls array<string>",
+    )
+    out = sources.reshape_hit_record(df).collect()
+    assert out[0]["Source"] == "@handle"       # already @-prefixed: kept
+    assert out[1]["Source"] == "@bare"         # '@' injected
+    assert out[0]["Hit Type"] == "Twitter Handle"
+    assert out[0]["URL to article/Tweet"] == "https://t.co/1"
+    assert out[0]["Found URL"] == ["https://x.com/"]
+    assert out[1]["Plain Text of Article or Tweet"] == "text two"
+
+
 def test_expand_urls_skip_predicate(spark):
     df = spark.createDataFrame(
         [("https://www.a.com/x",), ("https://twitter.com/u/status/1",), ("https://t.co/abc",)],
