@@ -1,3 +1,6 @@
+import random
+from urllib.parse import urlparse
+
 from pyspark.sql import functions as F
 
 from post_processor_spark import canon
@@ -99,3 +102,29 @@ def test_url_hash_deterministic(spark):
     df = spark.createDataFrame([("https://x.com/a",), ("https://x.com/a",)], "u string")
     vals = [r[0] for r in df.select(canon.url_hash(F.col("u"))).collect()]
     assert vals[0] == vals[1]
+
+
+def test_host_matches_urlparse_on_random_urls(spark):
+    """canon's locate/substring_index parse must agree with Python's
+    urlparse on host extraction for structured random URLs (seeded —
+    deterministic corpus; covers ports, userinfo, queries with embedded
+    '://', fragments, mixed case)."""
+    rng = random.Random(1234)
+    schemes = ["http", "https", "ftp"]
+    hosts = ["Example.com", "a.b.co.uk", "x-y.example9.ORG", "h0st.io"]
+    userinfos = ["", "user@", "u:p@"]
+    ports = ["", ":80", ":8443"]
+    paths = ["", "/", "/a/b", "/a%20b/c.html"]
+    queries = ["", "?x=1", "?u=https://inner.example/p", "?a=1&b=:2"]
+    frags = ["", "#f", "#sec:1"]
+    urls = []
+    for _ in range(200):
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(userinfos)
+            + rng.choice(hosts) + rng.choice(ports) + rng.choice(paths)
+            + rng.choice(queries) + rng.choice(frags)
+        )
+    got = _eval(spark, canon.url_host, urls)
+    for u, g in zip(urls, got):
+        expect = (urlparse(u).hostname or "").lower()
+        assert g == expect, f"{u}: {g!r} != {expect!r}"
