@@ -510,6 +510,9 @@ def run_generation(
     else:
         frontier_entry = ("frontier", delta, generation, "append")
         bloom_entry = ("bloom", bloom_delta, generation, "append")
+    # seen deltas follow the layout bootstrap chose (append dirs or the
+    # bucketed external table — spec already pinned in the manifest)
+    seen_mode = store.table_mode("seen") or "append"
     writes = [
         frontier_entry,
         (
@@ -518,7 +521,7 @@ def run_generation(
                 "url_hash", "host_hash", F.lit(generation).alias("generation")
             ),
             generation,
-            "append",
+            seen_mode,
         ),
         ("metrics", metrics, generation, "append"),
         bloom_entry,
@@ -550,16 +553,31 @@ def run_generation(
 
 
 def bootstrap(
-    spark: SparkSession, store: SnapshotStore, seeds: DataFrame
+    spark: SparkSession,
+    store: SnapshotStore,
+    seeds: DataFrame,
+    seen_layout: str = "append",
+    seen_buckets: int = 32,
 ) -> dict:
-    """Generation 0: seed the frontier + seen set."""
+    """Generation 0: seed the frontier + seen set.
+
+    seen_layout='bucketed' stores the seen set as a url_hash-bucketed
+    external table (state.SnapshotStore bucketed mode): every later
+    generation's exact anti-join then scans the 10^10-row seen side IN
+    PLACE — no per-generation shuffle of the seen set, only the small
+    maybe-seen side is exchanged into the bucket partitioning. At cluster
+    scale pick seen_buckets ~ total cores (e.g. 4096); the Iceberg analog
+    is a bucket(N, url_hash) partition transform + storage-partitioned
+    joins."""
     fr = seeds_to_frontier(seeds).select(*FRONTIER_COLS).persist()
+    seen_mode = "bucketed" if seen_layout == "bucketed" else "append"
     store.write_many(
         [
             ("frontier", fr, 0, "append"),
-            ("seen", fr.select("url_hash", "host_hash", F.lit(0).alias("generation")), 0, "append"),
+            ("seen", fr.select("url_hash", "host_hash", F.lit(0).alias("generation")), 0, seen_mode),
             ("bloom", build_bloom(fr.select("url_hash")), 0, "append"),
-        ]
+        ],
+        bucket_specs={"seen": (["url_hash"], seen_buckets)},
     )
     n = fr.count()
     fr.unpersist()
@@ -573,16 +591,19 @@ def run_generations(
     seeds: DataFrame | None,
     n_generations: int,
     start_generation: int | None = None,
+    seen_layout: str = "append",
+    seen_buckets: int = 32,
     **kwargs,
 ) -> list[dict]:
     """Drive the generation loop (the reference's master.py restart loop).
 
     With start_generation=None: bootstrap from seeds then run 1..n.
-    With start_generation=k: exact resume from snapshot k (seeds ignored)."""
+    With start_generation=k: exact resume from snapshot k (seeds ignored;
+    the seen layout is read back from the store manifest)."""
     out = []
     if start_generation is None:
         assert seeds is not None, "seeds required for a fresh run"
-        out.append(bootstrap(spark, store, seeds))
+        out.append(bootstrap(spark, store, seeds, seen_layout, seen_buckets))
         gens = range(1, n_generations + 1)
     else:
         gens = range(start_generation + 1, start_generation + 1 + n_generations)

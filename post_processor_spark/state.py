@@ -12,18 +12,24 @@ read_from_memory resume (archived/Post-Processor/processor.py:854-866,
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotStore:
     """Versioned parquet tables under root/: <table>/gen=<n>.<k>/ dirs
-    referenced by a manifest (Iceberg manifest pattern). Two table modes:
-    snapshot (each generation dir is the full table) and append (each
-    generation dir is a delta; reads union all deltas <= generation).
+    referenced by a manifest (Iceberg manifest pattern). Three table modes:
+    snapshot (each generation dir is the full table), append (each
+    generation dir is a delta; reads union all deltas <= generation), and
+    bucketed (deltas append into one Spark bucketed external table — the
+    Iceberg bucket(N, col) partition-transform analog — so equi-joins on
+    the bucket key skip the exchange on this side; for idempotent
+    membership tables like the URL-seen set).
 
     Commit protocol: write a FRESH parquet dir, then atomically replace
     manifest.json (tmp + rename). A crash between the two leaves the
@@ -104,11 +110,69 @@ class SnapshotStore:
         job's budget."""
         self._write(table, df, generation, mode="append")
 
+    def write_bucketed(
+        self,
+        table: str,
+        df: DataFrame,
+        generation: int,
+        bucket_cols: tuple[str, ...] = ("url_hash",),
+        n_buckets: int = 32,
+    ) -> None:
+        """Bucketed-append write: deltas accumulate in ONE Spark bucketed
+        external table (hash-bucketed + sorted by `bucket_cols`), so an
+        equi-join on the bucket key needs NO exchange on this side — the
+        storage-partitioned join Iceberg's bucket(N, col) transform gives.
+        See write_many for the visibility/crash contract."""
+        self.write_many(
+            [(table, df, generation, "bucketed")],
+            bucket_specs={table: (list(bucket_cols), n_buckets)},
+        )
+
+    def _bucketed_spec(
+        self, t: dict, table: str, df: DataFrame, bucket_specs: dict | None
+    ) -> dict:
+        """Fetch-or-create the manifest bucketed-table spec."""
+        if "bucketed" in t:
+            return t["bucketed"]
+        spec = (bucket_specs or {}).get(table)
+        if spec is None:
+            raise ValueError(
+                f"first bucketed write to {table!r} needs bucket_specs"
+            )
+        cols, n = spec
+        tag = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:10]
+        t["bucketed"] = {
+            "cols": list(cols),
+            "n": int(n),
+            "location": os.path.join(self.root, table, "bucketed"),
+            "name": f"ppss_{table}_{tag}",
+            "gen_col": "generation",
+            "schema_ddl": ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            ),
+        }
+        return t["bucketed"]
+
+    @staticmethod
+    def _ensure_bucketed_registered(spark: SparkSession, spec: dict) -> None:
+        """Re-register the external bucketed table in this session's
+        catalog (the default in-memory catalog forgets it across sessions;
+        the data + layout live in the location dir)."""
+        if not spark.catalog.tableExists(spec["name"]):
+            keys = ", ".join(spec["cols"])
+            spark.sql(
+                f"CREATE TABLE {spec['name']} ({spec['schema_ddl']}) "
+                f"USING PARQUET CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+                f"INTO {spec['n']} BUCKETS LOCATION '{spec['location']}'"
+            )
+
     def _write(self, table: str, df: DataFrame, generation: int, mode: str) -> None:
         self.write_many([(table, df, generation, mode)])
 
     def write_many(
-        self, writes: list[tuple[str, DataFrame, int, str]]
+        self,
+        writes: list[tuple[str, DataFrame, int, str]],
+        bucket_specs: dict[str, tuple[list[str], int]] | None = None,
     ) -> None:
         """Multi-table transaction: all parquet dirs are written first,
         then ONE manifest commit makes every table's new version visible
@@ -128,6 +192,29 @@ class SnapshotStore:
                 raise ValueError(
                     f"table {table!r} is {t['mode']}-mode; cannot {mode}-write"
                 )
+            if mode == "bucketed":
+                # Append into the ONE bucketed external table; visibility is
+                # gated by `gen_col <= current` at read, not by dir refs.
+                # Crash contract: rows appended by a failed commit become
+                # visible once a LATER commit records generation >= g — so
+                # bucketed mode is ONLY for idempotent membership tables
+                # (duplicate seen rows are inert: left_anti ignores them,
+                # bloom bits OR idempotently). Appends never rewrite files,
+                # so lazy readers stay valid (their file listing is frozen
+                # at plan time).
+                spec = self._bucketed_spec(t, table, df, bucket_specs)
+                self._ensure_bucketed_registered(df.sparkSession, spec)
+                (
+                    df.write.format("parquet")
+                    .bucketBy(spec["n"], *spec["cols"])
+                    .sortBy(*spec["cols"])
+                    .mode("append")
+                    .saveAsTable(spec["name"])
+                )
+                t["current"] = generation
+                if generation not in t["history"]:
+                    t["history"].append(generation)
+                continue
             path = self._new_dir(manifest, table, generation)
             df.write.mode("overwrite").parquet(path)
             g = str(generation)
@@ -157,6 +244,13 @@ class SnapshotStore:
         gen = t["current"] if generation is None else generation
         if gen not in t["history"]:
             raise FileNotFoundError(f"table {table!r} has no generation {gen}")
+        if t.get("mode") == "bucketed":
+            spec = t["bucketed"]
+            self._ensure_bucketed_registered(spark, spec)
+            # reads MUST go through spark.table (not the path): only the
+            # catalog scan carries the bucketing, which is what lets the
+            # seen-side anti-join skip its exchange
+            return spark.table(spec["name"]).filter(F.col(spec["gen_col"]) <= gen)
         if t.get("mode", "snapshot") == "append":
             paths = [
                 p
@@ -167,6 +261,10 @@ class SnapshotStore:
         else:
             paths = t["dirs"][str(gen)]
         return spark.read.parquet(*paths)
+
+    def table_mode(self, table: str) -> str | None:
+        t = self._read_manifest()["tables"].get(table)
+        return None if t is None else t.get("mode")
 
     def current_generation(self, table: str) -> int | None:
         t = self._read_manifest()["tables"].get(table)

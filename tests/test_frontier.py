@@ -403,3 +403,32 @@ def test_apply_robots_embedded_url_in_query(spark):
     )
     out2 = {r["seq"]: r["robots_blocked"] for r in frontier.apply_robots(cands, root).collect()}
     assert out2[2] is True  # bare host = root path, '/' disallow blocks it
+
+
+def test_bucketed_seen_layout_matches_append(spark):
+    """seen_layout='bucketed' must be semantically invisible: identical
+    per-generation scheduled/new counts, identical seen membership, and an
+    exact resume that auto-detects the layout from the store manifest."""
+    docs = fixtures.synthetic_documents(spark, 400, n_hosts=20, seed=11).persist()
+    seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq")).limit(50)
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        s_app = SnapshotStore(d1)
+        app = frontier.run_generations(
+            spark, s_app, docs, seeds, n_generations=3, budget_per_host=4,
+        )
+        s_buck = SnapshotStore(d2)
+        buck = frontier.run_generations(
+            spark, s_buck, docs, seeds, n_generations=2, budget_per_host=4,
+            seen_layout="bucketed", seen_buckets=4,
+        )
+        # resume detects the bucketed layout from the manifest
+        buck += frontier.run_generations(
+            spark, s_buck, docs, None, n_generations=1, start_generation=2,
+            budget_per_host=4,
+        )
+        assert [g.get("scheduled") for g in app] == [g.get("scheduled") for g in buck]
+        assert [g.get("new") for g in app] == [g.get("new") for g in buck]
+        a = s_app.read(spark, "seen").select("url_hash", "generation")
+        b = s_buck.read(spark, "seen").select("url_hash", "generation")
+        assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+        assert s_buck.table_mode("seen") == "bucketed"

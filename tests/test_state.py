@@ -121,3 +121,72 @@ def test_write_many_commits_together(spark):
         )
         assert s.current_generation("a") == 0 and s.current_generation("b") == 0
         assert [r["v"] for r in s.read(spark, "b").collect()] == [9]
+
+
+def _seen_df(spark, lo, hi, gen):
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, hi).select(
+        F.xxhash64("id").alias("url_hash"),
+        (F.col("id") % 7).alias("host_hash"),
+        F.lit(gen).cast("int").alias("generation"),
+    )
+
+
+def test_bucketed_append_and_time_travel(spark):
+    """Bucketed mode: deltas accumulate in one external bucketed table;
+    visibility is gated by generation <= requested (the crash contract —
+    orphan rows from a failed commit stay invisible until a later commit
+    covers their generation)."""
+    with tempfile.TemporaryDirectory() as d:
+        s = SnapshotStore(d)
+        s.write_bucketed("seen", _seen_df(spark, 0, 100, 0), 0, n_buckets=4)
+        s.write_bucketed("seen", _seen_df(spark, 100, 150, 1), 1)
+        assert s.table_mode("seen") == "bucketed"
+        assert s.read(spark, "seen").count() == 150
+        assert s.read(spark, "seen", 0).count() == 100
+        with pytest.raises(ValueError):
+            s.write_append("seen", _seen_df(spark, 150, 160, 2), 2)
+
+
+def test_bucketed_reregisters_after_catalog_loss(spark):
+    """A fresh session's catalog has no memory of the table: read() and
+    append must re-register it from the manifest spec (DDL with the same
+    bucket layout) and keep appending into the same location."""
+    with tempfile.TemporaryDirectory() as d:
+        s = SnapshotStore(d)
+        s.write_bucketed("seen", _seen_df(spark, 0, 80, 0), 0, n_buckets=4)
+        name = s._read_manifest()["tables"]["seen"]["bucketed"]["name"]
+        spark.sql(f"DROP TABLE {name}")  # simulate a new session
+        assert s.read(spark, "seen").count() == 80
+        spark.sql(f"DROP TABLE {name}")
+        s.write_bucketed("seen", _seen_df(spark, 80, 90, 1), 1)
+        assert s.read(spark, "seen").count() == 90
+
+
+def test_bucketed_anti_join_no_seen_exchange(spark):
+    """The point of the layout: an exact anti-join against the seen table
+    must NOT exchange (or re-shuffle) the seen side — only the small
+    candidate side is shuffled into the bucket partitioning. At 10^10 seen
+    rows the per-generation seen shuffle is the scale-killer this removes."""
+    from pyspark.sql import functions as F
+
+    from post_processor_spark import plans
+
+    with tempfile.TemporaryDirectory() as d:
+        s = SnapshotStore(d)
+        s.write_bucketed("seen", _seen_df(spark, 0, 5000, 0), 0, n_buckets=4)
+        seen = s.read(spark, "seen").select("url_hash")
+        cand = spark.range(2500, 7500).select(
+            F.xxhash64("id").alias("url_hash"), F.col("id").alias("payload")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = cand.join(seen, "url_hash", "left_anti")
+            plan = plans.physical_plan(out)
+            assert "Bucketed: true" in plan
+            assert plans.count_shuffles(out) == 1  # candidate side only
+            assert out.count() == 2500
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
