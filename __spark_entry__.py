@@ -432,6 +432,26 @@ def _q_embedding_neardup(spark, sf):
     )
 
 
+def _q_neardup_clusters(spark, sf):
+    """Connected components over the embedding near-dup pair graph
+    (dedup.neardup_clusters): the keep/drop grouping step of a dedup
+    pipeline — cluster_id = min reachable vec_id. Oracle = DuckDB
+    recursive-CTE transitive closure over the same exact pair set."""
+    e = _t(spark, sf, "embeddings")
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pairs = dedup.embedding_neardup_pairs(dbl, threshold=0.35)
+    return (
+        dedup.neardup_clusters(pairs)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_interest_ranking(spark, sf):
     """A5: hit-count ranking of the referral output (archived
     processor.py:943) — docs ordered by referral count desc, url asc."""
@@ -669,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_ann_cosine": _q_ann_cosine,
         "q_embedding_neardup": _q_embedding_neardup,
+        "q_neardup_clusters": _q_neardup_clusters,
         "q_interest_ranking": _q_interest_ranking,
         "q_record_dedup_desc": _q_record_dedup_desc,
         "q_scope_gate": _q_scope_gate,
@@ -929,6 +950,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "q_neardup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(u, v) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+            )
+            SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY u ORDER BY doc_id
         """,
         "q_interest_ranking": _EDGES_CTE + """
             SELECT CAST(d.doc_id AS VARCHAR) AS url,

@@ -215,6 +215,70 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     return pairs
 
 
+def neardup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc appearing in `pairs`:
+    cluster_id = MIN id reachable in the undirected pair graph (connected
+    components). The step after candidate generation + verification in a
+    dedup pipeline — pairs alone can't drive a keep/drop decision when
+    duplicates chain (A~B, B~C: keeping one doc per PAIR keeps two of the
+    three).
+
+    Hash-min label propagation, DataFrame-only: each round every node
+    takes min(own label, neighbours' labels); converges in O(graph
+    diameter) rounds — near-dup components are quasi-cliques (every
+    member pairs with most others), so diameter is 1-3 in practice.
+    Per round: one join (labels shuffled by id) + one groupBy min with
+    map-side combine; lineage is cut per round with localCheckpoint (an
+    iterative plan otherwise grows by two shuffles per round and
+    re-executes from the source on every action). Driver work per round
+    is one scalar count — no collect of data-scale frames.
+
+    Raises RuntimeError if max_iter rounds don't converge (a correctness
+    guarantee: a truncated propagation would silently mislabel — the
+    caller can raise max_iter for a pathological chain-shaped graph).
+    Reference analog: none (the reference dedupes exact-only,
+    scripts/cleaner/record/clean.py:41-60); this is the builder-spec
+    near-dup extension."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh, labels.id == neigh.u, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("_chg")).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    edges.unpersist()
+    raise RuntimeError(f"neardup_clusters did not converge in {max_iter} rounds")
+
+
 def _unit_vectors(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(_id, _unit) — pre-normalize ONCE per vector; computing cosine per
     pair would re-derive both norms n^2 times."""

@@ -157,10 +157,12 @@ def main() -> None:
         # its finished rounds
         with open(runs_path, "a") as f:
             f.write(json.dumps(r) + "\n")
-    # render from EVERY logged complete comparison at this input size (the
-    # host is noisy minute-to-minute; the evidence is the full distribution,
-    # not whichever single run happened last)
-    rounds = [r for r in _load_runs(runs_path) if r.get("n_urls") == n_urls]
+    # render EVERY logged complete comparison (the host is noisy
+    # minute-to-minute; the evidence is the full distribution, not
+    # whichever single run happened last); headline stats use the current
+    # input size only — rates at different sizes aren't comparable
+    all_runs = _load_runs(runs_path)
+    rounds = [r for r in all_runs if r.get("n_urls") == n_urls]
     lo = max((r["lo"] for r in rounds), key=lambda x: x["rate"])
     hi = max((r["hi"] for r in rounds), key=lambda x: x["rate"])
     eff = (hi["rate"] / lo["rate"]) / (N_HI / N_LO)
@@ -172,10 +174,11 @@ def main() -> None:
     bw_eff = (bw_hi / bw_lo) / (N_HI / N_LO)
     med_eff = statistics.median(r["eff"] for r in rounds)
     run_rows = "\n".join(
-        f"| {r.get('ts', '?')} | {r.get('rev', '?')} | {r['lo']['rate']:,.0f} | "
+        f"| {r.get('ts', '?')} | {r.get('rev', '?')} | {r.get('n_urls', 0) / 1e6:.0f}M | "
+        f"{r['lo']['rate']:,.0f} | "
         f"{r['hi']['rate']:,.0f} | {r['eff']:.3f} | {r['raw_eff']:.2f} | "
         f"{r['bw_eff']:.2f} | {r['eff'] / min(r['raw_eff'], r['bw_eff']):.2f} |"
-        for r in rounds
+        for r in all_runs
     )
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
@@ -206,7 +209,7 @@ a bandwidth-bound workload; what the proxy does verify is the plan-level
 property we control: no stage serializes on the skewed mega-host and no
 partition is hot.
 
-## All logged complete comparisons at {n_urls:,} URLs
+## All logged complete comparisons
 
 Each row is one complete comparison: fresh same-run calibrations + fresh
 JVMs at both levels, back-to-back under the same host conditions.
@@ -214,8 +217,8 @@ eff/ceil = Spark efficiency normalized by that run's LOWER hardware
 ceiling (≥1.0 means the job scaled as well as the hardware allowed
 during that window).
 
-| when | rev | local[{N_LO}] URLs/s | local[{N_HI}] URLs/s | eff | cpu ceil | bw ceil | eff/ceil |
-|---|---|---|---|---|---|---|---|
+| when | rev | URLs | local[{N_LO}] URLs/s | local[{N_HI}] URLs/s | eff | cpu ceil | bw ceil | eff/ceil |
+|---|---|---|---|---|---|---|---|---|
 {run_rows}
 
 ## Headline

@@ -143,3 +143,23 @@ def test_strict_decode_raises(spark):
     media = multimodal.synthetic_media(_docs(spark)).limit(1)
     with _pytest.raises(Exception):
         multimodal.extract_features(media, strict=True).collect()
+
+
+def test_neardup_clusters(spark):
+    """Connected components over pair edges: chains must collapse into one
+    cluster (multi-round propagation — a path graph is the worst case for
+    hash-min), disjoint components stay apart, and cluster_id is the min
+    member id."""
+    pairs = spark.createDataFrame(
+        # component 1: chain 1-2-3-4 (diameter 3); component 2: 10-11;
+        # component 3 via out-of-order edge: 20-21, 21-7 => min id 7
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (7, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup.neardup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 7, 21: 7, 7: 7}
+
+
+def test_neardup_clusters_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.neardup_clusters(pairs).count() == 0
