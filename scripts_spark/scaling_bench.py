@@ -146,6 +146,7 @@ def main() -> None:
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
     runs_path = os.path.join(repo, "BENCH", "runs.jsonl")
     rev = _git_rev(repo)
+    # n_rounds=0: render BENCH/BASELINE.md from the existing log only
     new_rounds = []
     for _ in range(n_rounds):
         r = compare_once(n_urls)
