@@ -44,9 +44,11 @@ HEADLINE_QUERIES = [
     "q_seen_filter",
 ]
 
-# 2M seeds: large enough that fixed per-job overhead (planning, bloom
-# broadcast, Python worker spin-up) stops dominating the measured rate
-FRONTIER_N_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "2000000"))
+# 10M seeds: at 2M the ~10 s of per-pass fixed overhead (bloom collect
+# job, Python worker spin-up, planning) is still ~1/3 of the pass and
+# caps the measured rate ~2x below steady state (measured 91k/s at 2M vs
+# 174k/s at 10M, local[32]); 10M amortizes it below ~15%
+FRONTIER_N_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "10000000"))
 
 
 def _force(df) -> int:
