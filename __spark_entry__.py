@@ -452,6 +452,19 @@ def _q_neardup_clusters(spark, sf):
     )
 
 
+def _q_neardup_keep(spark, sf):
+    """End-to-end dedup decision: near-dup pairs → connected components →
+    keep one representative per cluster + all unclustered docs."""
+    e = _t(spark, sf, "embeddings")
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pairs = dedup.embedding_neardup_pairs(dbl, threshold=0.35)
+    clusters = dedup.neardup_clusters(pairs)
+    kept = dedup.neardup_keep(e.select("vec_id"), clusters, id_col="vec_id")
+    return kept.select(F.col("vec_id").cast("long").alias("vec_id")).orderBy("vec_id")
+
+
 def _q_interest_ranking(spark, sf):
     """A5: hit-count ranking of the referral output (archived
     processor.py:943) — docs ordered by referral count desc, url asc."""
@@ -690,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_cosine": _q_ann_cosine,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_neardup_clusters": _q_neardup_clusters,
+        "q_neardup_keep": _q_neardup_keep,
         "q_interest_ranking": _q_interest_ranking,
         "q_record_dedup_desc": _q_record_dedup_desc,
         "q_scope_gate": _q_scope_gate,
@@ -968,6 +982,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
             FROM reach GROUP BY u ORDER BY doc_id
+        """,
+        "q_neardup_keep": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(u, v) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+            ), clusters AS (
+                SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+            )
+            SELECT CAST(e.vec_id AS BIGINT) AS vec_id FROM embeddings e
+            WHERE e.vec_id NOT IN
+                  (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+            ORDER BY vec_id
         """,
         "q_interest_ranking": _EDGES_CTE + """
             SELECT CAST(d.doc_id AS VARCHAR) AS url,

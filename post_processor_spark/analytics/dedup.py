@@ -279,6 +279,27 @@ def neardup_clusters(
     raise RuntimeError(f"neardup_clusters did not converge in {max_iter} rounds")
 
 
+def neardup_keep(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The final keep/drop decision of the dedup pipeline: keep exactly
+    ONE doc per near-dup cluster (the cluster representative =
+    cluster_id = min member id, deterministic) plus every unclustered
+    doc. Composition: candidate pairs → neardup_clusters → neardup_keep.
+
+    Plan shape: one broadcast-able join against the clusters frame
+    (|clusters| = docs that appear in any pair — at corpus scale the
+    duplicate fraction, not the corpus) — docs never self-join."""
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("_drop_id")
+    )
+    return docs.join(
+        drop, docs[id_col] == F.col("_drop_id"), "left_anti"
+    )
+
+
 def _unit_vectors(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(_id, _unit) — pre-normalize ONCE per vector; computing cosine per
     pair would re-derive both norms n^2 times."""

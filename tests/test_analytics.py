@@ -163,3 +163,12 @@ def test_neardup_clusters(spark):
 def test_neardup_clusters_empty(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.neardup_clusters(pairs).count() == 0
+
+
+def test_neardup_keep(spark):
+    """Keep = one representative per cluster + all unclustered docs."""
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    clusters = dedup.neardup_clusters(pairs)
+    kept = sorted(r["doc_id"] for r in dedup.neardup_keep(docs, clusters).collect())
+    assert kept == [0, 1, 4, 5, 7]
