@@ -569,6 +569,10 @@ def bootstrap(
     scale pick seen_buckets ~ total cores (e.g. 4096); the Iceberg analog
     is a bucket(N, url_hash) partition transform + storage-partitioned
     joins."""
+    if seen_layout not in ("append", "bucketed"):
+        # the layout is pinned forever in the manifest — a typo silently
+        # coerced to 'append' would only surface as a scale regression
+        raise ValueError(f"seen_layout must be 'append' or 'bucketed', got {seen_layout!r}")
     fr = seeds_to_frontier(seeds).select(*FRONTIER_COLS).persist()
     seen_mode = "bucketed" if seen_layout == "bucketed" else "append"
     store.write_many(

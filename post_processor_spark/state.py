@@ -12,7 +12,6 @@ read_from_memory resume (archived/Post-Processor/processor.py:854-866,
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import tempfile
@@ -133,14 +132,30 @@ class SnapshotStore:
     ) -> dict:
         """Fetch-or-create the manifest bucketed-table spec."""
         if "bucketed" in t:
-            return t["bucketed"]
+            stored = t["bucketed"]
+            req = (bucket_specs or {}).get(table)
+            if req is not None and (
+                list(req[0]) != stored["cols"] or int(req[1]) != stored["n"]
+            ):
+                # the layout is frozen at first write — silently appending
+                # a re-tuned spec into the old bucketing would let the
+                # caller believe they re-bucketed
+                raise ValueError(
+                    f"table {table!r} is bucketed as ({stored['cols']}, "
+                    f"{stored['n']}); cannot re-bucket to {req} in place"
+                )
+            return stored
         spec = (bucket_specs or {}).get(table)
         if spec is None:
             raise ValueError(
                 f"first bucketed write to {table!r} needs bucket_specs"
             )
         cols, n = spec
-        tag = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:10]
+        # name carries a per-spec random tag, NOT a hash of the root path:
+        # a store recreated at a previously used root (same session) must
+        # get a FRESH catalog entry — a path-derived name would reuse the
+        # stale one, whose cached file index points at the defunct store
+        tag = os.urandom(5).hex()
         t["bucketed"] = {
             "cols": list(cols),
             "n": int(n),

@@ -43,10 +43,13 @@ def start_frontier_stream(
     frontier and one generation is run. Streaming checkpoint handles
     source offsets; SnapshotStore handles engine state — both resume."""
 
+    seen_layout = sched_kwargs.pop("seen_layout", "append")
+    seen_buckets = sched_kwargs.pop("seen_buckets", 32)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         gen_now = store.current_generation("frontier")
         if gen_now is None:
-            frontier.bootstrap(spark, store, batch_df)
+            frontier.bootstrap(spark, store, batch_df, seen_layout, seen_buckets)
             gen_now = 0
         elif batch_df.take(1):
             new_rows = frontier.seeds_to_frontier(batch_df).select(*frontier.FRONTIER_COLS)
@@ -69,7 +72,8 @@ def start_frontier_stream(
                         "url_hash", "host_hash", F.lit(gen_now).alias("generation")
                     ),
                     gen_now,
-                    "append",
+                    # follow the layout bootstrap pinned in the manifest
+                    store.table_mode("seen") or "append",
                 ),
                 ("bloom", build_bloom(unseen_new.select("url_hash")), gen_now, "append"),
             ]

@@ -164,6 +164,13 @@ def main() -> None:
     # input size only — rates at different sizes aren't comparable
     all_runs = _load_runs(runs_path)
     rounds = [r for r in all_runs if r.get("n_urls") == n_urls]
+    if not rounds:
+        print(
+            f"no logged comparisons at n_urls={n_urls} "
+            f"(log: {runs_path}) — run with n_rounds >= 1 first",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     lo = max((r["lo"] for r in rounds), key=lambda x: x["rate"])
     hi = max((r["hi"] for r in rounds), key=lambda x: x["rate"])
     eff = (hi["rate"] / lo["rate"]) / (N_HI / N_LO)

@@ -432,3 +432,11 @@ def test_bucketed_seen_layout_matches_append(spark):
         b = s_buck.read(spark, "seen").select("url_hash", "generation")
         assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
         assert s_buck.table_mode("seen") == "bucketed"
+
+
+def test_bootstrap_rejects_unknown_seen_layout(spark):
+    docs = fixtures.synthetic_documents(spark, 10, n_hosts=2, seed=1)
+    seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq"))
+    with tempfile.TemporaryDirectory() as d:
+        with pytest.raises(ValueError):
+            frontier.bootstrap(spark, SnapshotStore(d), seeds, seen_layout="bucket")

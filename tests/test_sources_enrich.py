@@ -162,3 +162,44 @@ def test_metrics_window_groups_by_generation_epoch(spark):
     out = streaming.metrics_window(m, minutes=1, budget_per_host=60).collect()
     assert len(out) == 3
     assert sorted(r["scheduled"] for r in out) == [40, 40, 40]
+
+
+def test_streaming_frontier_bucketed_seed_merge(spark, tmp_path):
+    """The seed-merge write path must follow the store's seen layout: on a
+    bucketed store a hard-coded 'append' seen write raises mode-mismatch
+    and kills the stream."""
+    from post_processor_spark import fixtures, streaming
+    from post_processor_spark.state import SnapshotStore
+
+    docs = fixtures.synthetic_documents(spark, 100, n_hosts=10, seed=5)
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    rows = [
+        {"url": f"https://host{i % 10}.example.com/doc/{i}", "priority": 1, "seq": i}
+        for i in range(20)
+    ]
+    (seed_dir / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    store = SnapshotStore(str(tmp_path / "store"))
+    q = streaming.start_frontier_stream(
+        spark, store, docs, str(seed_dir), str(tmp_path / "ckpt"),
+        budget_per_host=4, use_bloom=False, seen_layout="bucketed",
+        seen_buckets=4,
+    )
+    q.awaitTermination(120)
+    assert store.table_mode("seen") == "bucketed"
+    g1 = store.current_generation("frontier")
+    # second batch exercises the seed-MERGE branch (bootstrap already ran)
+    rows2 = [
+        {"url": f"https://host{i % 10}.example.com/doc/{i}", "priority": 1, "seq": i}
+        for i in range(20, 35)
+    ]
+    (seed_dir / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    q2 = streaming.start_frontier_stream(
+        spark, store, docs, str(seed_dir), str(tmp_path / "ckpt"),
+        budget_per_host=4, use_bloom=False, seen_layout="bucketed",
+        seen_buckets=4,
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert store.current_generation("frontier") > g1
+    assert store.read(spark, "seen").count() > 0

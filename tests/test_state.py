@@ -190,3 +190,29 @@ def test_bucketed_anti_join_no_seen_exchange(spark):
             assert out.count() == 2500
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_rebucket_in_place_raises(spark):
+    with tempfile.TemporaryDirectory() as d:
+        s = SnapshotStore(d)
+        s.write_bucketed("seen", _seen_df(spark, 0, 10, 0), 0, n_buckets=4)
+        with pytest.raises(ValueError):
+            s.write_bucketed("seen", _seen_df(spark, 10, 20, 1), 1, n_buckets=8)
+        # same spec keeps appending fine
+        s.write_bucketed("seen", _seen_df(spark, 10, 20, 1), 1, n_buckets=4)
+        assert s.read(spark, "seen").count() == 20
+
+
+def test_bucketed_store_recreated_at_same_root_is_fresh(spark):
+    """A store recreated at a previously used root must NOT resolve to the
+    old catalog entry (stale file index over the defunct store)."""
+    with tempfile.TemporaryDirectory() as d:
+        s1 = SnapshotStore(d)
+        s1.write_bucketed("seen", _seen_df(spark, 0, 50, 0), 0, n_buckets=4)
+        assert s1.read(spark, "seen").count() == 50
+        import shutil
+
+        shutil.rmtree(d)
+        s2 = SnapshotStore(d)
+        s2.write_bucketed("seen", _seen_df(spark, 0, 7, 0), 0, n_buckets=4)
+        assert s2.read(spark, "seen").count() == 7
