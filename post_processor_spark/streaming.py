@@ -104,6 +104,66 @@ def start_frontier_stream(
     )
 
 
+def stateful_politeness_stream(
+    spark: SparkSession,
+    seed_dir: str,
+    budget_per_host: int = 8,
+    crawl_delay_sec: int = 1,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): a
+    per-host slot counter that survives across micro-batches, so
+    consecutive fetches to a host stay crawl_delay apart even when the
+    host's URLs arrive in different batches — the cross-batch politeness
+    guarantee foreachBatch gets from the SnapshotStore, expressed in
+    Spark's native streaming-state machinery (state lives in the
+    streaming checkpoint; a restarted query resumes the counters).
+
+    Per-group state = one long (next slot index); each batch's rows are
+    assigned consecutive slots in deterministic (priority, seq) order,
+    not_before = BASE_EPOCH + slot*delay. Arrow-batched; no per-row
+    Python. Returns the streaming DataFrame (caller attaches the sink)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from . import canon
+
+    cand = canon.with_canonical(seed_stream(spark, seed_dir), "url").select(
+        "url", "host_hash", "priority", "seq"
+    )
+    out_schema = (
+        "host_hash long, url string, slot long, not_before timestamp"
+    )
+    base = frontier._BASE_EPOCH
+    delay = crawl_delay_sec
+
+    def assign(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        (next_slot,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["priority", "seq"], kind="mergesort")
+            n = len(pdf)
+            slots = np.arange(next_slot, next_slot + n, dtype=np.int64)
+            next_slot += n
+            yield pd.DataFrame(
+                {
+                    "host_hash": pdf["host_hash"].to_numpy(),
+                    "url": pdf["url"].to_numpy(),
+                    "slot": slots,
+                    "not_before": pd.to_datetime(base + slots * delay, unit="s"),
+                }
+            )
+        state.update((int(next_slot),))
+
+    return cand.groupBy("host_hash").applyInPandasWithState(
+        assign,
+        outputStructType=out_schema,
+        stateStructType="next_slot long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def metrics_window(
     metrics: DataFrame,
     minutes: int = 1,

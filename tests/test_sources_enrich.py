@@ -203,3 +203,67 @@ def test_streaming_frontier_bucketed_seed_merge(spark, tmp_path):
     assert q2.exception() is None
     assert store.current_generation("frontier") > g1
     assert store.read(spark, "seen").count() > 0
+
+
+def test_stateful_politeness_stream_state_survives_batches(spark, tmp_path):
+    """applyInPandasWithState: the per-host slot counter must CONTINUE
+    across micro-batches via the streaming checkpoint — batch-2 URLs of a
+    host get slots after batch-1's, keeping consecutive fetches
+    crawl_delay apart across the batch boundary."""
+    from post_processor_spark import streaming
+
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_batch():
+        df = streaming.stateful_politeness_stream(
+            spark, str(seed_dir), crawl_delay_sec=2
+        )
+        # file sink (memory sink can't recover from a checkpoint — the
+        # state-continuation assertion IS the recovery path)
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        return spark.read.parquet(out_dir).collect()
+
+    rows1 = [
+        {"url": f"https://h{i % 2}.example.com/p/{i}", "priority": 1, "seq": i}
+        for i in range(6)
+    ]
+    (seed_dir / "b0.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    out1 = run_batch()
+    per_host = {}
+    for r in out1:
+        per_host.setdefault(r["host_hash"], []).append(r["slot"])
+    assert all(sorted(v) == [0, 1, 2] for v in per_host.values())
+
+    rows2 = [
+        {"url": f"https://h{i % 2}.example.com/p/{i}", "priority": 1, "seq": i}
+        for i in range(6, 10)
+    ]
+    (seed_dir / "b1.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    all_out = run_batch()
+    # second query run processed ONLY the new file; slots continue at 3
+    out2 = [r for r in all_out if r["slot"] >= 3]
+    assert len(all_out) == 10
+    per_host2 = {}
+    for r in out2:
+        per_host2.setdefault(r["host_hash"], []).append(r["slot"])
+    assert all(sorted(v) == [3, 4] for v in per_host2.values())
+    # not_before spacing = crawl_delay within and ACROSS batches
+    all_rows = sorted(all_out, key=lambda r: (r["host_hash"], r["slot"]))
+    by_host = {}
+    for r in all_rows:
+        by_host.setdefault(r["host_hash"], []).append(r["not_before"])
+    for ts in by_host.values():
+        gaps = {(b - a).total_seconds() for a, b in zip(ts, ts[1:])}
+        assert gaps == {2.0}
