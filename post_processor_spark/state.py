@@ -114,17 +114,29 @@ class SnapshotStore:
         table: str,
         df: DataFrame,
         generation: int,
-        bucket_cols: tuple[str, ...] = ("url_hash",),
-        n_buckets: int = 32,
+        bucket_cols: tuple[str, ...] | None = None,
+        n_buckets: int | None = None,
     ) -> None:
         """Bucketed-append write: deltas accumulate in ONE Spark bucketed
         external table (hash-bucketed + sorted by `bucket_cols`), so an
         equi-join on the bucket key needs NO exchange on this side — the
         storage-partitioned join Iceberg's bucket(N, col) transform gives.
-        See write_many for the visibility/crash contract."""
+        See write_many for the visibility/crash contract.
+
+        bucket_cols/n_buckets default to ("url_hash",)/32 on the FIRST
+        write; on later writes None means "keep the pinned spec" while an
+        explicit differing value raises (the layout is frozen — see
+        _bucketed_spec)."""
+        explicit = bucket_cols is not None or n_buckets is not None
+        spec = (
+            list(bucket_cols) if bucket_cols is not None else ["url_hash"],
+            n_buckets if n_buckets is not None else 32,
+        )
         self.write_many(
             [(table, df, generation, "bucketed")],
-            bucket_specs={table: (list(bucket_cols), n_buckets)},
+            bucket_specs={table: spec}
+            if explicit or self.table_mode(table) is None
+            else None,
         )
 
     def _bucketed_spec(
