@@ -114,11 +114,15 @@ def main() -> None:
 
     # steady-state throughput: warm codegen/python workers first, then
     # best-of-2 (this sandbox VM's deliverable perf is noisy; host noise
-    # only subtracts)
+    # only subtracts). If the first rep landed in a badly degraded host
+    # window (>3 min for 10M), skip the second — it can only cost wall
+    # time, never raise the best-of.
     frontier_throughput(spark, 100_000)
+    t0 = time.time()
     rate, n_sched = frontier_throughput(spark, FRONTIER_N_URLS)
-    rate2, _ = frontier_throughput(spark, FRONTIER_N_URLS)
-    rate = max(rate, rate2)
+    if time.time() - t0 < 180:
+        rate2, _ = frontier_throughput(spark, FRONTIER_N_URLS)
+        rate = max(rate, rate2)
     times["frontier_schedule_pass"] = round(FRONTIER_N_URLS and n_sched / max(rate, 1e-9), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
