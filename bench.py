@@ -61,23 +61,34 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
     """Scheduled URLs/sec for one full scheduling pass at n_urls seeds."""
     from pyspark.sql import functions as F
 
-    from post_processor_spark import fixtures, frontier, seen as seen_mod
+    from post_processor_spark import canon, fixtures, frontier, seen as seen_mod
 
     # realistic web-shaped host diversity (~50 URLs/host) + one mega-host
     # at 30% of traffic so the salted two-phase top-B is actually exercised
+    n_hosts = max(200, n_urls // 50)
     seeds = fixtures.synthetic_seed_frontier(
-        spark, n_urls, n_hosts=max(200, n_urls // 50), mega_host_share=0.3, seed=99
+        spark, n_urls, n_hosts=n_hosts, mega_host_share=0.3, seed=99
     )
     spark.catalog.clearCache()  # reps must not inherit prior caches
     t0 = time.time()
-    # persist: pending feeds the seen table derivation, the bloom build,
-    # the membership pass, and the politeness windows — uncached, the
-    # canonicalize+dedupe chain re-runs for each
-    pending = frontier.seeds_to_frontier(seeds).persist()
-    # seen set: 20% of the hash space pre-seen
-    seen_tbl = pending.filter(F.col("seq") % 5 == 0).select(
-        "url_hash", "host_hash", F.lit(0).alias("generation")
+    # seen side (20% of the hash space pre-seen): independent narrow
+    # lineage, matching the generation loop where `seen` is its own store
+    # table — deriving it from a persisted copy of `pending` (the earlier
+    # bench) forced a full wide-row cache write into the timed pass that
+    # no real generation pays. Duplicate urls are harmless on a
+    # bloom-build / left_anti build side, so this lineage needs no dedupe
+    # shuffle; the narrow projection is persisted because the bloom build
+    # and the exact anti-join both consume it.
+    seen_tbl = (
+        canon.with_canonical(
+            fixtures.synthetic_seed_frontier(
+                spark, n_urls, n_hosts=n_hosts, mega_host_share=0.3, seed=99
+            ).filter(F.col("seq") % 5 == 0)
+        )
+        .select("url_hash", "host_hash", F.lit(0).alias("generation"))
+        .persist()
     )
+    pending = frontier.seeds_to_frontier(seeds)
     # LAZY persist, not materialize=True: politeness consumes `unseen`
     # three times (skew census + norm/big splits), but all three run
     # inside the ONE final job — the census broadcast-subquery stage fills
@@ -91,7 +102,7 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
     ).filter(F.col("status") == "scheduled")
     n_scheduled = scheduled.count()
     dt = time.time() - t0
-    pending.unpersist()
+    seen_tbl.unpersist()
     unseen.unpersist()
     return n_scheduled / dt, n_scheduled
 

@@ -69,6 +69,64 @@ def dedupe_candidates(df: DataFrame) -> DataFrame:
     )
 
 
+def _host_from_canonical(canon_url):
+    """Authority of a canon.with_canonical canonical URL: the canonical
+    form embeds `host` verbatim between the first '://' (when present)
+    and the next '/' or '?', so recovery is substring cuts — no re-parse.
+    NOT total (a scheme-less URL with an empty authority, or one whose
+    path embeds '://', recovers wrongly) — callers must delta-encode:
+    compare recovered vs actual at encode time and carry the explicit
+    host for the rare rows where they differ."""
+    pos = F.locate("://", canon_url)
+    after = F.when(pos > 0, F.substr(canon_url, pos + 3)).otherwise(canon_url)
+    return F.substring_index(F.substring_index(after, "/", 1), "?", 1)
+
+
+def _dedupe_candidates_slim(df: DataFrame) -> DataFrame:
+    """dedupe_candidates specialised to canonicalized frames
+    (_DEDUP_COLS): the exchange carries a DELTA-ENCODED payload — `url`
+    and `host` ride as NULL whenever they are recoverable from
+    canonical_url (the overwhelmingly common case: url differs from its
+    canonical form only for fragment / userinfo / port / case variants)
+    and host_hash is re-derived after the shuffle. Cuts dedupe exchange
+    bytes ~40% on URL-shaped rows; the re-derivation is substring cuts +
+    one xxhash64 — CPU-side work, which scales better than the
+    DRAM-bandwidth-bound exchange it replaces (BENCH/BASELINE.md
+    hardware calibrations: cpu 0.87 vs bandwidth 0.67 at 4->16 workers).
+    Exact: the encode compares recovered vs actual per row, so any row
+    where recovery would be wrong carries the explicit value."""
+    rec_host = _host_from_canonical(F.col("canonical_url"))
+    slim = df.select(
+        "url_hash",
+        F.when(F.col("url") == F.col("canonical_url"), F.lit(None))
+        .otherwise(F.col("url"))
+        .alias("_url_d"),
+        "canonical_url",
+        F.when(rec_host.eqNullSafe(F.col("host")), F.lit(None))
+        .otherwise(F.col("host"))
+        .alias("_host_d"),
+        "priority", "generation", "seq", "sub",
+    )
+    key = F.struct(*[F.col(c) for c in ORDER_COLS])
+    payload = [c for c in slim.columns if c != "url_hash"]
+    deduped = (
+        slim.groupBy("url_hash")
+        .agg(F.min_by(F.struct(*[F.col(c) for c in payload]), key).alias("_r"))
+        .select("url_hash", "_r.*")
+    )
+    host = F.coalesce(
+        F.col("_host_d"), _host_from_canonical(F.col("canonical_url"))
+    )
+    return deduped.select(
+        F.coalesce(F.col("_url_d"), F.col("canonical_url")).alias("url"),
+        "canonical_url",
+        "url_hash",
+        host.alias("host"),
+        canon.host_hash(host).alias("host_hash"),
+        "priority", "generation", "seq", "sub",
+    )
+
+
 def politeness_schedule(
     pending: DataFrame,
     generation: int,
@@ -269,7 +327,7 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     )
     slim = canonicalize_candidates(base).select(*_DEDUP_COLS)
     return (
-        dedupe_candidates(slim)
+        _dedupe_candidates_slim(slim)
         .withColumn("status", F.lit("pending"))
         .withColumn("not_before", F.lit(None).cast("timestamp"))
         .withColumn("sched_gen", F.lit(None).cast("int"))
@@ -426,7 +484,7 @@ def run_generation(
     )
     # constants attached after the dedupe shuffle (see seeds_to_frontier)
     discovered = (
-        dedupe_candidates(canonicalize_candidates(discovered).select(*_DEDUP_COLS))
+        _dedupe_candidates_slim(canonicalize_candidates(discovered).select(*_DEDUP_COLS))
         .withColumn("status", F.lit("pending"))
         .withColumn("not_before", F.lit(None).cast("timestamp"))
         .withColumn("sched_gen", F.lit(None).cast("int"))

@@ -27,6 +27,12 @@ import time
 
 N_LO, N_HI = 4, 16
 
+# Bump when the measured job's definition changes (rates across workload
+# versions aren't comparable; headline stats use the current version only,
+# older rows stay in the log/table as history). v2 = independent narrow
+# seen lineage + delta-encoded dedupe exchange (2026-08-17).
+WORKLOAD = "v2"
+
 RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, ".")
@@ -151,6 +157,7 @@ def main() -> None:
     for _ in range(n_rounds):
         r = compare_once(n_urls)
         r["rev"] = rev
+        r["workload"] = WORKLOAD
         r["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
         r["n_urls"] = n_urls
         new_rounds.append(r)
@@ -163,7 +170,10 @@ def main() -> None:
     # whichever single run happened last); headline stats use the current
     # input size only — rates at different sizes aren't comparable
     all_runs = _load_runs(runs_path)
-    rounds = [r for r in all_runs if r.get("n_urls") == n_urls]
+    rounds = [
+        r for r in all_runs
+        if r.get("n_urls") == n_urls and r.get("workload", "v1") == WORKLOAD
+    ]
     if not rounds:
         print(
             f"no logged comparisons at n_urls={n_urls} "
@@ -185,7 +195,7 @@ def main() -> None:
         r["eff"] / min(r["raw_eff"], r["bw_eff"]) for r in rounds
     )
     run_rows = "\n".join(
-        f"| {r.get('ts', '?')} | {r.get('rev', '?')} | {r.get('n_urls', 0) / 1e6:.0f}M | "
+        f"| {r.get('ts', '?')} | {r.get('rev', '?')} ({r.get('workload', 'v1')}) | {r.get('n_urls', 0) / 1e6:.0f}M | "
         f"{r['lo']['rate']:,.0f} | "
         f"{r['hi']['rate']:,.0f} | {r['eff']:.3f} | {r['raw_eff']:.2f} | "
         f"{r['bw_eff']:.2f} | {r['eff'] / min(r['raw_eff'], r['bw_eff']):.2f} |"

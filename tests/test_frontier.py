@@ -105,6 +105,44 @@ def test_politeness_budget_and_order(spark):
     assert out.filter(F.col("status") == "pending").count() == 11 - 4
 
 
+def test_slim_dedupe_matches_generic(spark):
+    """_dedupe_candidates_slim (delta-encoded exchange payload) must
+    reproduce dedupe_candidates exactly — including on adversarial URLs
+    where the post-shuffle host recovery would be wrong and the encode
+    must fall back to carrying the explicit value: scheme-less URLs with
+    an embedded '://' in the query, userinfo/port/fragment variants,
+    uppercase hosts, bare trailing '?'."""
+    rows = [
+        ("https://a.example.com/p1", 1),
+        ("https://a.example.com/p1#frag", 2),          # dup of seq 1 post-canon
+        ("HTTPS://A.Example.COM/p1", 3),               # dup (case)
+        ("https://user:pw@b.example.com:443/x?q=1", 4),
+        ("b.example.com/redirect?u=https://evil.com/x", 5),  # scheme-less + embedded ://
+        ("c.example.com/plain", 6),
+        ("mailto:someone@d.example.com", 7),
+        ("https://e.example.com/y?", 8),               # bare trailing ?
+        ("https://e.example.com/y", 9),                # dup of seq 8
+        ("ftp://f.example.com:2121/z", 10),
+    ]
+    seeds = spark.createDataFrame(rows, "url string, seq long").select(
+        "url", F.lit(5).alias("priority"), "seq",
+        F.lit(0).alias("generation"), F.lit(0).cast("long").alias("sub"),
+    )
+    slim = frontier.canonicalize_candidates(seeds).select(*frontier._DEDUP_COLS)
+    cols = frontier._DEDUP_COLS
+    generic = sorted(
+        tuple(r[c] for c in cols)
+        for r in frontier.dedupe_candidates(slim).collect()
+    )
+    slim_out = sorted(
+        tuple(r[c] for c in cols)
+        for r in frontier._dedupe_candidates_slim(slim).select(*cols).collect()
+    )
+    assert slim_out == generic
+    # the dedupe itself worked: 3 url_hash-duplicates collapsed
+    assert len(slim_out) == 7
+
+
 def test_skew_two_phase_topk(spark):
     """Mega-host: per-host budget still exact under salted two-phase."""
     df = fixtures.synthetic_seed_frontier(spark, 5000, n_hosts=50,
