@@ -58,10 +58,17 @@ def _force(df) -> int:
 
 
 def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
-    """Scheduled URLs/sec for one full scheduling pass at n_urls seeds."""
+    """Scheduled URLs/sec for one full scheduling pass at n_urls seeds.
+
+    Measured composition = frontier.schedule_seed_list: canonicalize →
+    bloom tag + null-key broadcast exact anti-join (all narrow) →
+    politeness with fused in-exchange dedupe. The seed payload crosses
+    ONE exchange; the earlier standalone-dedupe pipeline paid an extra
+    full url_hash exchange plus two SortAggregate sorts for the same
+    output."""
     from pyspark.sql import functions as F
 
-    from post_processor_spark import canon, fixtures, frontier, seen as seen_mod
+    from post_processor_spark import canon, fixtures, frontier
 
     # realistic web-shaped host diversity (~50 URLs/host) + one mega-host
     # at 30% of traffic so the salted two-phase top-B is actually exercised
@@ -73,12 +80,10 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
     t0 = time.time()
     # seen side (20% of the hash space pre-seen): independent narrow
     # lineage, matching the generation loop where `seen` is its own store
-    # table — deriving it from a persisted copy of `pending` (the earlier
-    # bench) forced a full wide-row cache write into the timed pass that
-    # no real generation pays. Duplicate urls are harmless on a
-    # bloom-build / left_anti build side, so this lineage needs no dedupe
-    # shuffle; the narrow projection is persisted because the bloom build
-    # and the exact anti-join both consume it.
+    # table. Duplicate urls are harmless on a bloom-build / left_anti
+    # build side, so this lineage needs no dedupe shuffle; the narrow
+    # projection is persisted because the bloom build and the exact
+    # anti-join both consume it.
     seen_tbl = (
         canon.with_canonical(
             fixtures.synthetic_seed_frontier(
@@ -88,22 +93,13 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
         .select("url_hash", "host_hash", F.lit(0).alias("generation"))
         .persist()
     )
-    pending = frontier.seeds_to_frontier(seeds)
-    # LAZY persist, not materialize=True: politeness consumes `unseen`
-    # three times (skew census + norm/big splits), but all three run
-    # inside the ONE final job — the census broadcast-subquery stage fills
-    # the cache and the branches reuse it. An eager count here is a whole
-    # extra pass over the 2M rows (measured ~10-40% of the pass).
-    unseen = seen_mod.filter_unseen(
-        pending, seen_tbl, use_bloom=True, materialize=False
-    ).persist()
-    scheduled = frontier.politeness_schedule(
-        unseen, generation=1, budget_per_host=64, salt_parts=64
+    scheduled = frontier.schedule_seed_list(
+        seeds, seen_tbl, generation=1, budget_per_host=64, salt_parts=64
     ).filter(F.col("status") == "scheduled")
     n_scheduled = scheduled.count()
     dt = time.time() - t0
     seen_tbl.unpersist()
-    unseen.unpersist()
+    spark.catalog.clearCache()  # schedule_seed_list's internal persist
     return n_scheduled / dt, n_scheduled
 
 

@@ -135,6 +135,7 @@ def politeness_schedule(
     salt_parts: int = 16,
     skew_threshold: int | None = None,
     host_delays: DataFrame | None = None,
+    dedupe: bool = False,
 ) -> DataFrame:
     """Tag pending rows: the per-host top-B in crawl order get
     status='scheduled' + a not_before slot; the rest stay 'pending'.
@@ -148,9 +149,29 @@ def politeness_schedule(
     mega-host in one task. The selection is EXACT either way (any global
     per-host top-B row is in its salt shard's top-B).
 
+    Each branch is ranked SEPARATELY (a host lives entirely in one
+    branch, so per-branch windows see every row of their hosts): ranking
+    norm ∪ survivors in one window — the earlier plan — destroys the
+    union's partitioning and re-exchanges the full norm payload a second
+    time for nothing.
+
+    dedupe=True fuses first-in-crawl-order url_hash dedupe (P6) INTO the
+    politeness exchange: every duplicate of a url_hash shares its
+    canonical_url, hence its host_hash AND its salt shard
+    (salt = pmod(url_hash, S)), so a dedupe window partitioned by
+    (host_hash[, salt], url_hash) is exact under the same explicit
+    repartition the rank window uses — the input payload crosses ONE
+    exchange total. The standalone alternative (dedupe_candidates before
+    scheduling) costs a full extra url_hash exchange plus two
+    SortAggregate sorts (min_by over a struct buffer is not
+    hash-aggregatable). Input may omit status/not_before/sched_gen
+    (implicitly all-pending, e.g. a fresh seed list); they are
+    synthesized in the output either way.
+
     Returns the full frame with updated status/not_before/sched_gen."""
     if skew_threshold is None:
         skew_threshold = max(budget_per_host * salt_parts, 4096)
+    has_status = "status" in pending.columns
 
     big_hosts = (
         pending.groupBy("host_hash")
@@ -165,17 +186,32 @@ def politeness_schedule(
     salt = F.pmod(F.col("url_hash"), F.lit(salt_parts))
     w_shard = Window.partitionBy("host_hash", salt).orderBy(*ORDER_COLS)
 
+    if dedupe:
+        # explicit repartition so the dedupe window (whose partition spec
+        # is a SUPERSET of the repartition keys — satisfied without a new
+        # exchange) and the rank window share one exchange per branch
+        norm = norm.repartition("host_hash")
+        w_d = Window.partitionBy("host_hash", "url_hash").orderBy(*ORDER_COLS)
+        norm = (
+            norm.withColumn("_dn", F.row_number().over(w_d))
+            .filter(F.col("_dn") == 1)
+            .drop("_dn")
+        )
+        big = big.repartition(F.col("host_hash"), salt)
+        w_ds = Window.partitionBy("host_hash", salt, "url_hash").orderBy(*ORDER_COLS)
+        big = (
+            big.withColumn("_dn", F.row_number().over(w_ds))
+            .filter(F.col("_dn") == 1)
+            .drop("_dn")
+        )
+
     # skewed hosts: shard pre-rank (persisted — feeds survivors + overflow)
     pre = big.withColumn("_shard_rn", F.row_number().over(w_shard)).persist()
     survivors = pre.filter(F.col("_shard_rn") <= budget_per_host).drop("_shard_rn")
     shard_overflow = pre.filter(F.col("_shard_rn") > budget_per_host).drop("_shard_rn")
 
-    # ONE per-host window over norm ∪ survivors (a host lives entirely in
-    # one branch, so the union doesn't mix orderings), then status derived
-    # with when() — not filter+union, which would run the window sort once
-    # per branch when the full frame is consumed.
-    ranked = norm.unionByName(survivors).withColumn(
-        "_rn", F.row_number().over(w_host)
+    ranked = norm.withColumn("_rn", F.row_number().over(w_host)).unionByName(
+        survivors.withColumn("_rn", F.row_number().over(w_host))
     )
     # per-host crawl-delay override (north_rule: robots crawl-delay):
     # host_delays(host_hash, crawl_delay_sec) — broadcast; default global
@@ -200,24 +236,36 @@ def politeness_schedule(
     # extending past epoch(g+1), violating its declared crawl-delay.)
     epoch = F.lit(_BASE_EPOCH) + F.lit(generation * budget_per_host) * delay
     is_sched = F.col("_rn") <= budget_per_host
+    prev_status = F.col("status") if has_status else F.lit("pending")
+    prev_sched_gen = F.col("sched_gen") if has_status else F.lit(None).cast("int")
+    prev_not_before = (
+        F.col("not_before") if has_status else F.lit(None).cast("timestamp")
+    )
     decided = (
         ranked.withColumn(
-            "status", F.when(is_sched, F.lit("scheduled")).otherwise(F.col("status"))
+            "status", F.when(is_sched, F.lit("scheduled")).otherwise(prev_status)
         )
         .withColumn(
             "sched_gen",
-            F.when(is_sched, F.lit(generation)).otherwise(F.col("sched_gen")),
+            F.when(is_sched, F.lit(generation)).otherwise(prev_sched_gen),
         )
         .withColumn(
             "not_before",
             F.when(
                 is_sched,
                 F.timestamp_seconds(epoch + (F.col("_rn") - 1) * delay),
-            ).otherwise(F.col("not_before")),
+            ).otherwise(prev_not_before),
         )
         .drop("_rn", *(["_hd"] if host_delays is not None else []))
     )
-    return decided.unionByName(shard_overflow)
+    overflow = shard_overflow
+    if not has_status:
+        overflow = (
+            overflow.withColumn("status", F.lit("pending"))
+            .withColumn("sched_gen", F.lit(None).cast("int"))
+            .withColumn("not_before", F.lit(None).cast("timestamp"))
+        )
+    return decided.unionByName(overflow.select(*decided.columns))
 
 
 def top_per_host(
@@ -316,16 +364,64 @@ _DEDUP_COLS = [
 ]
 
 
+def seed_candidates(seeds: DataFrame) -> DataFrame:
+    """(url, priority, seq) → canonicalized generation-0 candidate rows
+    (_DEDUP_COLS), not yet deduped: the narrow front half shared by
+    seeds_to_frontier and the fused scheduling path."""
+    base = seeds.withColumn("generation", F.lit(0)).withColumn(
+        "sub", F.lit(0).cast("long")
+    )
+    return canonicalize_candidates(base).select(*_DEDUP_COLS)
+
+
+def schedule_seed_list(
+    seeds: DataFrame,
+    seen: DataFrame,
+    generation: int = 1,
+    budget_per_host: int = 8,
+    crawl_delay_sec: int = 1,
+    salt_parts: int = 16,
+    bloom: DataFrame | None = None,
+    skew_threshold: int | None = None,
+) -> DataFrame:
+    """One-exchange scheduling of a fresh seed list against an existing
+    seen set — the bench-headline composition, and the fast path for
+    'here are N new URLs, schedule the polite top-B per host':
+
+      canonicalize (narrow) → bloom tag + null-key broadcast exact
+      anti-join (narrow) → politeness with FUSED dedupe (dedupe + rank
+      windows share one host-partitioned exchange per skew branch).
+
+    The seed payload crosses exactly ONE exchange. Requires the seen
+    side to fit a broadcast (filter_unseen exact_join='broadcast_fused');
+    at a 10^10-row seen set use the generation loop's branch path +
+    bucketed layout instead. Result rows are persisted (the politeness
+    census + both skew branches consume them); callers own unpersist/
+    clearCache."""
+    from .seen import filter_unseen as _filter_unseen
+
+    cand = seed_candidates(seeds)
+    unseen = _filter_unseen(
+        cand, seen, use_bloom=True, bloom=bloom, exact_join="broadcast_fused"
+    ).persist()
+    return politeness_schedule(
+        unseen,
+        generation=generation,
+        budget_per_host=budget_per_host,
+        crawl_delay_sec=crawl_delay_sec,
+        salt_parts=salt_parts,
+        skew_threshold=skew_threshold,
+        dedupe=True,
+    )
+
+
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     """(url, priority, seq) → generation-0 pending frontier rows.
 
     Constant columns (status/not_before/sched_gen) are attached AFTER the
     dedupe — shuffling them through the min_by aggregation is pure
     payload; same for registrable_domain, which the frontier never uses."""
-    base = seeds.withColumn("generation", F.lit(0)).withColumn(
-        "sub", F.lit(0).cast("long")
-    )
-    slim = canonicalize_candidates(base).select(*_DEDUP_COLS)
+    slim = seed_candidates(seeds)
     return (
         _dedupe_candidates_slim(slim)
         .withColumn("status", F.lit("pending"))

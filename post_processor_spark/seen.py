@@ -227,6 +227,7 @@ def filter_unseen(
     mode: str = "auto",
     materialize: bool = False,
     bloom: DataFrame | None = None,
+    exact_join: str = "branch",
 ) -> DataFrame:
     """Rows of `candidates` whose url_hash is not in `seen`.
 
@@ -238,6 +239,21 @@ def filter_unseen(
     built from the full seen table — an O(|seen|) rescan acceptable for
     one-shot use, NOT per generation at scale.
 
+    exact_join='branch' (default): two-branch union — definitely-unseen
+    rows bypass the exact join as a separate plan branch. Correct under
+    ANY join strategy, including the bucketed storage-partitioned seen
+    layout; costs one cache of the tagged frame (both branches consume
+    it).
+    exact_join='broadcast_fused': ONE streaming pass, no intermediate
+    cache — the anti-join key is NULLed for definitely-unseen rows (a
+    null key never matches a left_anti probe, so those rows survive
+    without touching the hash table) and the seen side is explicitly
+    broadcast. ONLY valid while the seen side fits a broadcast: under a
+    shuffle join every null-key row would hash to a single partition —
+    the worst possible skew — and the expression key would defeat the
+    bucketed layout's exchange-free scan. Used by the seed-list fast
+    path (frontier.schedule_seed_list).
+
     materialize=True: persist + force the RESULT, then release the
     intermediate cache. Use when the caller consumes the result more than
     once (count + snapshot writes) — uncached, each consumer re-runs the
@@ -247,6 +263,8 @@ def filter_unseen(
     # NOTE: no .distinct() on the seen side — left_anti semantics ignore
     # duplicate matches, and a distinct would shuffle the full seen table
     # (10^10 rows at target scale) before every generation's join.
+    if exact_join not in ("branch", "broadcast_fused"):
+        raise ValueError(f"exact_join must be 'branch' or 'broadcast_fused', got {exact_join!r}")
     if not use_bloom:
         out = candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
         if materialize:
@@ -255,6 +273,25 @@ def filter_unseen(
         return out
     if bloom is None:
         bloom = build_bloom(seen, n_buckets, bits_per_bucket)
+    if exact_join == "broadcast_fused":
+        tagged = bloom_filter_candidates(
+            candidates, bloom, n_buckets, bits_per_bucket, mode=mode
+        )
+        out = (
+            tagged.withColumn(
+                "_mk", F.when(F.col("maybe_seen"), F.col("url_hash"))
+            )
+            .join(
+                F.broadcast(seen.select(F.col("url_hash").alias("_mk"))),
+                "_mk",
+                "left_anti",
+            )
+            .drop("_mk", "maybe_seen")
+        )
+        if materialize:
+            out = out.persist()
+            out.materialized_count = out.count()
+        return out
     # persist: both branches (definitely-unseen ∪ resolved-maybe) consume
     # `tagged`; without a cache each union branch re-runs the candidate
     # lineage AND the bloom check

@@ -26,11 +26,24 @@ import sys
 import time
 
 N_LO, N_HI = 4, 16
+REPS = 3  # measured reps per level (inside one warm JVM)
 
-# Bump when the measured job's definition changes (rates across workload
-# versions aren't comparable; headline stats use the current version only,
-# older rows stay in the log/table as history). v2 = independent narrow
-# seen lineage + delta-encoded dedupe exchange (2026-08-17).
+# Memory model: constant memory PER CORE, not per box — going N → 4N
+# executors on a real cluster brings 4x aggregate memory with the
+# executors. A fixed total heap starves per-task execution memory
+# exactly at the 4N level (16 concurrent sort buffers sharing what 4
+# shared before), producing spill-driven anti-scaling that no real
+# cluster would see: measured at 40M URLs, fixed 32g gave 151k URLs/s
+# at local[16] vs 244k with the per-core heap, while local[4] was
+# unchanged (96.0k vs 93.7k).
+PER_CORE_GB = 4
+
+# Bump when the measured job's INPUT/OUTPUT contract changes (rates
+# across workload versions aren't comparable; headline stats use the
+# current version only, older rows stay in the log/table as history).
+# Plan-level optimizations that keep the same seeds → same scheduled set
+# (e.g. the fused one-exchange dedupe, tested row-equal) ride the rev
+# column instead. v2 = independent narrow seen lineage (2026-08-17).
 WORKLOAD = "v2"
 
 RUNNER = r"""
@@ -39,11 +52,11 @@ sys.path.insert(0, ".")
 from post_processor_spark.session import get_spark
 from bench import frontier_throughput
 
-cores = int(sys.argv[1]); n_urls = int(sys.argv[2])
+cores = int(sys.argv[1]); n_urls = int(sys.argv[2]); reps = int(sys.argv[3])
 spark = get_spark(cores=cores, app_name=f"scaling-{cores}", shuffle_partitions=cores*2)
 frontier_throughput(spark, 50000)   # warm-up: JVM, codegen, python workers
 best = {"rate": 0.0, "scheduled": 0}
-for _ in range(4):
+for _ in range(reps):
     rate, n = frontier_throughput(spark, n_urls)
     if rate > best["rate"]:
         best = {"rate": rate, "scheduled": n}
@@ -87,11 +100,11 @@ def raw_bw_rate(workers: int, reps: int = 6) -> float:
 
 
 def run_at(cores: int, n_urls: int) -> dict:
-    # same heap at BOTH parallelism levels (a real cluster scales memory
-    # with executors; a GC-bound heap would corrupt the comparison)
-    env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "32g"))
+    # heap scales with cores (see PER_CORE_GB); overridable for probes
+    mem = os.environ.get("SPARK_DRIVER_MEM", f"{cores * PER_CORE_GB}g")
+    env = dict(os.environ, SPARK_DRIVER_MEM=mem)
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cores), str(n_urls)],
+        [sys.executable, "-c", RUNNER, str(cores), str(n_urls), str(REPS)],
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         timeout=1800,
@@ -103,12 +116,17 @@ def run_at(cores: int, n_urls: int) -> dict:
 
 
 def compare_once(n_urls: int) -> dict:
-    """One full comparison: fresh calibrations + fresh JVMs at both
-    parallelism levels, measured back-to-back so they see the same host
-    conditions."""
-    raw_lo, raw_hi = raw_cpu_rate(N_LO), raw_cpu_rate(N_HI)
-    bw_lo, bw_hi = raw_bw_rate(N_LO), raw_bw_rate(N_HI)
+    """One full comparison: fresh JVMs at both parallelism levels,
+    back-to-back. Hardware ceilings are calibrated ADJACENT to each
+    level's Spark run (immediately before it, at that level's worker
+    count): host noise shifts minute-to-minute, so a single calibration
+    taken once per comparison can describe a different window than the
+    Spark run it is meant to normalize."""
+    raw_lo = raw_cpu_rate(N_LO)
+    bw_lo = raw_bw_rate(N_LO)
     lo = run_at(N_LO, n_urls)
+    raw_hi = raw_cpu_rate(N_HI)
+    bw_hi = raw_bw_rate(N_HI)
     hi = run_at(N_HI, n_urls)
     return {
         "raw_lo": raw_lo, "raw_hi": raw_hi,
@@ -192,13 +210,13 @@ def main() -> None:
     bw_eff = (bw_hi / bw_lo) / (N_HI / N_LO)
     med_eff = statistics.median(r["eff"] for r in rounds)
     med_norm = statistics.median(
-        r["eff"] / min(r["raw_eff"], r["bw_eff"]) for r in rounds
+        r["eff"] / min(r["raw_eff"], r["bw_eff"], 1.0) for r in rounds
     )
     run_rows = "\n".join(
         f"| {r.get('ts', '?')} | {r.get('rev', '?')} ({r.get('workload', 'v1')}) | {r.get('n_urls', 0) / 1e6:.0f}M | "
         f"{r['lo']['rate']:,.0f} | "
         f"{r['hi']['rate']:,.0f} | {r['eff']:.3f} | {r['raw_eff']:.2f} | "
-        f"{r['bw_eff']:.2f} | {r['eff'] / min(r['raw_eff'], r['bw_eff']):.2f} |"
+        f"{r['bw_eff']:.2f} | {r['eff'] / min(r['raw_eff'], r['bw_eff'], 1.0):.2f} |"
         for r in all_runs
     )
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
@@ -209,12 +227,19 @@ scheduling job — seeds → canonicalize → in-batch dedupe → partitioned-
 bloom + exact seen filter → skew-adaptive salted per-host politeness
 top-B — at local[{N_LO}] vs local[{N_HI}] on the same {n_urls:,}-URL
 input (30% of URLs on one mega-host), fresh JVM each, warm-up pass +
-best-of-4 measured reps.
+best-of-{REPS} measured reps. Heap scales with cores ({PER_CORE_GB} GB
+per core — a real cluster brings 4x aggregate memory going N → 4N
+executors; a fixed total heap starves per-task sort memory exactly at
+the 4N level and produces spill-driven anti-scaling no cluster would
+see: measured 151k vs 244k URLs/s at local[{N_HI}], 40M URLs).
 
-Hardware calibration (this box, measured fresh inside every complete
-comparison): nproc reports 32 but the cores are SMT threads of ~16
-physical cores, and — decisive for a shuffle engine — all {N_HI} workers
-share ONE memory controller. Best calibrations over all logged runs:
+Hardware calibration (this box, measured immediately BEFORE each
+level's Spark run at that level's worker count — host noise shifts
+minute-to-minute, so the ceiling must come from the same window as the
+run it normalizes): nproc reports 32 but the cores are SMT threads of
+~16 physical cores, and — decisive for a shuffle engine — all {N_HI}
+workers share ONE memory controller. Best calibrations over all logged
+runs:
 
 | ceiling | {N_LO} workers | {N_HI} workers | {N_LO}→{N_HI} efficiency |
 |---|---|---|---|
@@ -235,8 +260,9 @@ partition is hot.
 Each row is one complete comparison: fresh same-run calibrations + fresh
 JVMs at both levels, back-to-back under the same host conditions.
 eff/ceil = Spark efficiency normalized by that run's LOWER hardware
-ceiling (≥1.0 means the job scaled as well as the hardware allowed
-during that window).
+ceiling, capped at 1.0 — a measured ceiling above 1.0 is calibration
+noise, not real headroom (≥1.0 means the job scaled as well as the
+hardware allowed during that window).
 
 | when | rev | URLs | local[{N_LO}] URLs/s | local[{N_HI}] URLs/s | eff | cpu ceil | bw ceil | eff/ceil |
 |---|---|---|---|---|---|---|---|---|

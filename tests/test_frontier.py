@@ -143,6 +143,58 @@ def test_slim_dedupe_matches_generic(spark):
     assert len(slim_out) == 7
 
 
+def test_fused_schedule_matches_standalone(spark):
+    """schedule_seed_list (one-exchange fused dedupe+politeness +
+    null-key broadcast seen join) must reproduce the standalone pipeline
+    (seeds_to_frontier dedupe → filter_unseen branch path → politeness)
+    row-for-row on a duplicate-heavy, mega-host-skewed seed list — the
+    skew_threshold is forced low so the salted branch's fused dedupe is
+    exercised too."""
+    from post_processor_spark import seen as seen_mod
+
+    base = fixtures.synthetic_seed_frontier(
+        spark, 4000, n_hosts=10, mega_host_share=0.4, seed=7
+    )
+    # 1/3 of URLs appear twice with a LATER crawl-order key — the dedupe
+    # must keep the original row
+    dup = base.filter(F.col("seq") % 3 == 0).withColumn(
+        "seq", F.col("seq") + 100_000
+    )
+    seeds = base.unionByName(dup)
+    seen_tbl = (
+        frontier.seed_candidates(base)
+        .filter(F.col("seq") % 5 == 0)
+        .select("url_hash", "host_hash", F.lit(0).alias("generation"))
+    )
+
+    old = frontier.politeness_schedule(
+        seen_mod.filter_unseen(
+            frontier.seeds_to_frontier(seeds), seen_tbl, use_bloom=True
+        ),
+        generation=1, budget_per_host=4, salt_parts=4, skew_threshold=64,
+    )
+    new = frontier.schedule_seed_list(
+        seeds, seen_tbl, generation=1, budget_per_host=4, salt_parts=4,
+        skew_threshold=64,
+    )
+    cols = frontier.FRONTIER_COLS
+    rows_old = sorted(tuple(r[c] for c in cols) for r in old.select(*cols).collect())
+    rows_new = sorted(tuple(r[c] for c in cols) for r in new.select(*cols).collect())
+    assert rows_new == rows_old
+    assert len(rows_new) > 0
+    # both skew branches actually scheduled something
+    sched = [r for r in rows_new if r[cols.index("status")] == "scheduled"]
+    assert len(sched) > 0
+
+    # plan evidence: the fused path has NO standalone dedupe — no
+    # SortAggregate (the min_by struct fallback) and no url_hash-keyed
+    # exchange anywhere; candidate payload crosses only host exchanges
+    new.count()
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "hashpartitioning(url_hash" not in plan
+
+
 def test_skew_two_phase_topk(spark):
     """Mega-host: per-host budget still exact under salted two-phase."""
     df = fixtures.synthetic_seed_frontier(spark, 5000, n_hosts=50,
