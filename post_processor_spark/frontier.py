@@ -173,6 +173,25 @@ def politeness_schedule(
         skew_threshold = max(budget_per_host * salt_parts, 4096)
     has_status = "status" in pending.columns
 
+    # Slim exchange: url/host ride as NULL whenever recoverable from
+    # canonical_url (the same delta encoding as _dedupe_candidates_slim)
+    # and are re-derived AFTER the windows. The rank/dedupe window
+    # exchanges are this job's dominant shuffle and the high-parallelism
+    # level is DRAM-bandwidth-bound (BENCH/BASELINE.md calibrations), so
+    # exchange bytes are the scaling lever; the re-derivation is
+    # substring cuts — CPU-side work. Exact: encode compares recovered
+    # vs actual per row, so unrecoverable rows carry explicit values.
+    rec_host = _host_from_canonical(F.col("canonical_url"))
+    pending = pending.withColumn(
+        "url",
+        F.when(F.col("url") == F.col("canonical_url"), F.lit(None))
+        .otherwise(F.col("url")),
+    ).withColumn(
+        "host",
+        F.when(rec_host.eqNullSafe(F.col("host")), F.lit(None))
+        .otherwise(F.col("host")),
+    )
+
     big_hosts = (
         pending.groupBy("host_hash")
         .count()
@@ -265,7 +284,14 @@ def politeness_schedule(
             .withColumn("sched_gen", F.lit(None).cast("int"))
             .withColumn("not_before", F.lit(None).cast("timestamp"))
         )
-    return decided.unionByName(overflow.select(*decided.columns))
+    out = decided.unionByName(overflow.select(*decided.columns))
+    # decode the slim exchange (post-shuffle, narrow)
+    return out.withColumn(
+        "url", F.coalesce(F.col("url"), F.col("canonical_url"))
+    ).withColumn(
+        "host",
+        F.coalesce(F.col("host"), _host_from_canonical(F.col("canonical_url"))),
+    )
 
 
 def top_per_host(

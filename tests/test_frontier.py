@@ -143,6 +143,35 @@ def test_slim_dedupe_matches_generic(spark):
     assert len(slim_out) == 7
 
 
+def test_politeness_slim_exchange_roundtrip(spark):
+    """politeness_schedule's slim exchange (url/host ride as NULL when
+    recoverable from canonical_url, re-derived post-window) must return
+    byte-identical url/host — including adversarial URLs where naive
+    post-shuffle recovery is wrong and the encode must carry explicit
+    values (scheme-less + embedded '://', userinfo/port, uppercase
+    hosts, bare trailing '?', mailto/ftp schemes)."""
+    rows = [
+        ("https://a.example.com/p1", 1),
+        ("HTTPS://A.Example.COM/p2", 2),
+        ("https://user:pw@b.example.com:443/x?q=1", 3),
+        ("b.example.com/redirect?u=https://evil.com/x", 4),
+        ("c.example.com/plain", 5),
+        ("mailto:someone@d.example.com", 6),
+        ("https://e.example.com/y?", 7),
+        ("ftp://f.example.com:2121/z", 8),
+    ]
+    seeds = spark.createDataFrame(rows, "url string, seq long").select(
+        "url", F.lit(5).alias("priority"), "seq",
+        F.lit(0).alias("generation"), F.lit(0).cast("long").alias("sub"),
+    )
+    pending = frontier.canonicalize_candidates(seeds).select(*frontier._DEDUP_COLS)
+    out = frontier.politeness_schedule(pending, generation=1, budget_per_host=2)
+    got = sorted((r["url"], r["host"]) for r in out.collect())
+    want = sorted((r["url"], r["host"]) for r in pending.collect())
+    assert got == want
+    assert len(got) == len(rows)
+
+
 def test_fused_schedule_matches_standalone(spark):
     """schedule_seed_list (one-exchange fused dedupe+politeness +
     null-key broadcast seen join) must reproduce the standalone pipeline
