@@ -44,7 +44,10 @@ PER_CORE_GB = 4
 # Plan-level optimizations that keep the same seeds → same scheduled set
 # (e.g. the fused one-exchange dedupe, tested row-equal) ride the rev
 # column instead. v2 = independent narrow seen lineage (2026-08-17).
-WORKLOAD = "v2"
+# v3 = seen set + bloom built OUTSIDE the timed region (pre-existing
+# state, maintained incrementally by the generation loop; the pass
+# still pays the bitmap collect+broadcast and exact-side broadcast).
+WORKLOAD = "v3"
 
 RUNNER = r"""
 import json, sys, time
