@@ -4,17 +4,24 @@
 Reference behaviors re-expressed:
 - S1  twitter CSV glob scan (load_input.py:135-139)
 - S2  domain JSON-dir scan, one doc per file (post_utils/utils.py:37-55)
-- S3  JSON→CSV staging (utils.py:46-55) — unnecessary on Spark; the JSON
-      reader IS the staging. Kept only as a fixture converter.
+- S3  JSON→CSV staging (utils.py:37-55) — unnecessary as a pipeline hop on
+      Spark (the JSON reader IS the staging); provided as
+      stage_json_to_csv for users who want the reference's staged CSV.
 - S4  CSV concat scan (load_input.py:273-278) — Spark unions files natively
 - S7  CSV sink (create_output.py:47-51)
+- S8  XLSX sink (archived/Post-Processor/processor.py:1102-1105) —
+      write_xlsx, stdlib zip+XML (no openpyxl in the container)
 - S9  JSON sink (utils.py:14-21)
+- S13 NYT archive API scan (archived/utils/NYT_archive_explorer.py:28-98)
+      — injectable fetch (sandbox has no network), Spark-side parse
 - P8  duplicate-header strip (scripts/cleaner/header/clean.py:33-38)
 - P3/P2 output renames/drops (create_output.py:25-35)
+- P21 unicode-escape map (processor.py:1103-1104) — unicode_escape_columns
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -150,3 +157,312 @@ def reshape_hit_record(normalized_tweets: DataFrame) -> DataFrame:
         F.col("mentions").alias("Mentions"),
         F.col("found_urls").alias("Found URL"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S3: JSON→CSV staging (post_utils/utils.py:37-55 json_to_csv, called from
+# load_input.py:256 convert_domain). The reference reads every *.json file
+# in a directory into memory, renames bodyHTML→html_content, enumerates an
+# integer id, and writes one output.csv. Spark-side the read itself is the
+# staging; this utility exists for workflow parity (users whose downstream
+# tooling consumes the staged CSV).
+# ---------------------------------------------------------------------------
+
+# raw crawler-output schema: the column set json_to_csv stages
+# (utils.py:47 column_names, with bodyHTML pre-rename)
+DOMAIN_STAGING_SCHEMA = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("bodyHTML", T.StringType()),
+        T.StructField("author", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("article_text", T.StringType()),
+        T.StructField("domain", T.StringType()),
+        T.StructField("updated", T.StringType()),
+        T.StructField(
+            "found_urls",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("title", T.StringType()),
+                        T.StructField("url", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def stage_json_to_csv(spark: SparkSession, json_dir: str, output_dir: str) -> DataFrame:
+    """S3: stage a directory of one-doc-per-file crawler JSON into a single
+    headered CSV with the reference's column order and an enumerated id
+    (utils.py:47-55: id = enumeration index, html_content renamed from
+    bodyHTML). File order is pinned to sorted filename (the reference uses
+    os.listdir order, which is filesystem-arbitrary; sorted is the
+    deterministic choice).
+
+    The global row_number for the id is a single-partition window — this
+    is a fixture/staging utility by design; the engine's pipeline path
+    reads JSON directly (read_domain_json) and derives stable uuid5 ids
+    (P12), never this enumeration."""
+    from pyspark.sql import Window
+
+    raw = (
+        spark.read.schema(DOMAIN_STAGING_SCHEMA)
+        .option("multiLine", True)
+        .json(json_dir)
+        .withColumn("_file", F.input_file_name())
+    )
+    staged = (
+        raw.withColumn(
+            "id", F.row_number().over(Window.orderBy("_file")) - F.lit(1)
+        )
+        .select(
+            "id", "title", "url",
+            F.col("bodyHTML").alias("html_content"),
+            "author", "date", "article_text", "domain", "updated", "found_urls",
+        )
+    )
+    write_csv(staged, output_dir, single_file=True)
+    return staged
+
+
+# ---------------------------------------------------------------------------
+# P21 + S8: unicode-escape map + XLSX sink. The reference's final export
+# (archived/Post-Processor/processor.py:1102-1105) reads Output/output.csv,
+# applymaps str.encode('unicode_escape') over every string cell, and writes
+# Output/output.xlssx via pandas. Here P21 runs distributed (Arrow-batched
+# pandas UDF); S8 is a driver-side final export by nature (XLSX is a
+# single zip archive) — fixture/report scale only, like the reference's
+# one output.xlsx.
+# ---------------------------------------------------------------------------
+
+
+def unicode_escape_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P21: map every string column through Python's unicode_escape codec
+    (processor.py:1103-1104) — non-ASCII and control characters become
+    backslash escapes (é → \\xe9, newline → \\n). Vectorized pandas UDF,
+    applied only to string columns; non-string columns pass through."""
+
+    @F.pandas_udf("string")
+    def _uesc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: x.encode("unicode_escape").decode("utf-8")
+            if isinstance(x, str)
+            else x
+        )
+
+    targets = columns or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+    ]
+    out = df
+    for name in targets:
+        out = out.withColumn(name, _uesc(F.col(name)))
+    return out
+
+
+def _xlsx_col_ref(i: int) -> str:
+    """0-based column index → A1-notation column letters."""
+    ref = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        ref = chr(ord("A") + rem) + ref
+    return ref
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def write_xlsx(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
+    """S8: XLSX sink (processor.py:1105 df.to_excel). Stdlib-only writer
+    (zipfile + hand-built SpreadsheetML, inline strings) because the
+    container has no openpyxl. Matches pandas.to_excel's default layout:
+    a leading 0-based index column with a blank header cell, then the
+    DataFrame columns.
+
+    Driver-side by nature — one XLSX is one zip archive; this is the
+    reference's final fixture-scale report export, not a data-path sink
+    (use write_parquet/write_csv for data)."""
+    import zipfile
+
+    cols = df.columns
+    rows = df.collect()
+
+    def cell(r: int, c: int, v) -> str:
+        ref = f"{_xlsx_col_ref(c)}{r + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{_xml_escape(str(v))}</t></is></c>"
+        )
+
+    header = ["", *cols]  # pandas writes a blank header over the index
+    xml_rows = [
+        "<row r='1'>" + "".join(cell(0, c, v) for c, v in enumerate(header)) + "</row>"
+    ]
+    for i, row in enumerate(rows):
+        vals = [i, *[row[c] for c in cols]]
+        xml_rows.append(
+            f"<row r='{i + 2}'>"
+            + "".join(cell(i + 1, c, v) for c, v in enumerate(vals))
+            + "</row>"
+        )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(xml_rows) + "</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{_xml_escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" '
+        'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+# ---------------------------------------------------------------------------
+# S13: NYT archive API scan (archived/utils/NYT_archive_explorer.py:28-98).
+# The reference requests one month per call (6 s politeness sleep), keeps
+# docs with a headline, and projects 9 columns. Here the fetch is an
+# injectable callable (sandbox has no network — same convention as S11 and
+# P18's resolvers) run distributed via mapInPandas; the parse is pure
+# Spark expressions over from_json.
+# ---------------------------------------------------------------------------
+
+NYT_ARCHIVE_RESPONSE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "response",
+            T.StructType(
+                [
+                    T.StructField(
+                        "docs",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "headline",
+                                        T.StructType([T.StructField("main", T.StringType())]),
+                                    ),
+                                    T.StructField("pub_date", T.StringType()),
+                                    T.StructField("document_type", T.StringType()),
+                                    T.StructField("type_of_material", T.StringType()),
+                                    T.StructField("section_name", T.StringType()),
+                                    T.StructField("subsection_name", T.StringType()),
+                                    T.StructField("web_url", T.StringType()),
+                                    T.StructField(
+                                        "byline",
+                                        T.StructType([T.StructField("original", T.StringType())]),
+                                    ),
+                                    T.StructField(
+                                        "keywords",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField("name", T.StringType()),
+                                                    T.StructField("value", T.StringType()),
+                                                ]
+                                            )
+                                        ),
+                                    ),
+                                ]
+                            )
+                        ),
+                    )
+                ]
+            ),
+        )
+    ]
+)
+
+
+def parse_nyt_archive(responses: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """Parse raw NYT archive JSON responses into the reference's frame
+    (NYT_archive_explorer.py:38-81 parse_response): one row per doc with a
+    headline (is_valid, :33-36), keywords filtered to name='subject'
+    (:79). All-expression plan — from_json → explode → projections; no
+    Python in the parse path."""
+    doc = F.explode(
+        F.from_json(F.col(raw_col), NYT_ARCHIVE_RESPONSE_SCHEMA)["response"]["docs"]
+    ).alias("doc")
+    d = responses.select(doc).select("doc.*")
+    return d.filter(F.col("headline")["main"].isNotNull()).select(
+        F.col("headline")["main"].alias("headline"),
+        F.to_date(F.col("pub_date").substr(1, 10)).alias("date"),
+        F.col("document_type").alias("doc_type"),
+        F.col("type_of_material").alias("material_type"),
+        F.col("section_name").alias("section"),
+        F.col("subsection_name").alias("subsection"),
+        F.filter(F.col("keywords"), lambda k: k["name"] == F.lit("subject"))
+        .getField("value")
+        .alias("keywords"),
+        F.col("web_url").alias("url"),
+        F.col("byline")["original"].alias("byline"),
+    )
+
+
+def read_nyt_archive(spark: SparkSession, months: list[str], fetch) -> DataFrame:
+    """S13: scan the NYT archive API for the given 'YYYY/M' months.
+
+    fetch: callable month-str → raw response JSON str, injected like the
+    S11 fetch-sim and P18 resolver (the reference's requests.get +
+    API key, NYT_archive_explorer.py:28-34, needs network this sandbox
+    doesn't have). Fetches run on executors, one Arrow batch of months per
+    task — months are few, but nothing serializes on the driver."""
+    from collections.abc import Iterator
+
+    months_df = spark.createDataFrame([(m,) for m in months], "month string")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"month": pdf["month"], "raw": pdf["month"].map(fetch)}
+            )
+
+    raw = months_df.mapInPandas(gen, schema="month string, raw string")
+    return parse_nyt_archive(raw)

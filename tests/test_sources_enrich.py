@@ -267,3 +267,106 @@ def test_stateful_politeness_stream_state_survives_batches(spark, tmp_path):
     for ts in by_host.values():
         gaps = {(b - a).total_seconds() for a, b in zip(ts, ts[1:])}
         assert gaps == {2.0}
+
+
+def test_stage_json_to_csv(spark, tmp_path):
+    """S3: enumerated id in sorted-filename order, bodyHTML→html_content,
+    reference column order (utils.py:47-55)."""
+    d = tmp_path / "raw_json"
+    d.mkdir()
+    for name, url in [("b.json", "https://a.com/2"), ("a.json", "https://a.com/1")]:
+        (d / name).write_text(json.dumps({
+            "title": "T-" + url[-1], "url": url, "bodyHTML": "<p>h</p>",
+            "author": "au", "date": "2020-01-01", "article_text": "body",
+            "domain": "https://a.com/", "updated": "no",
+            "found_urls": [{"title": "t", "url": "https://b.com/y"}],
+        }))
+    out = tmp_path / "staged"
+    staged = sources.stage_json_to_csv(spark, str(d), str(out))
+    assert staged.columns == [
+        "id", "title", "url", "html_content", "author", "date",
+        "article_text", "domain", "updated", "found_urls",
+    ]
+    rows = {r["id"]: r for r in staged.collect()}
+    # sorted filename order: a.json (url .../1) gets id 0
+    assert rows[0]["url"] == "https://a.com/1" and rows[1]["url"] == "https://a.com/2"
+    assert rows[0]["html_content"] == "<p>h</p>"
+    csv_files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(csv_files) == 1  # single staged file like the reference
+    header = open(os.path.join(out, csv_files[0])).readline().strip()
+    assert header.startswith("id,title,url,html_content,author")
+
+
+def test_unicode_escape_and_xlsx_sink(spark, tmp_path):
+    """P21+S8: unicode_escape per string cell, then an XLSX the stdlib can
+    read back (zip + SpreadsheetML with inline strings, pandas-style
+    leading index column)."""
+    import re
+    import zipfile
+
+    df = spark.createDataFrame(
+        [("café\nnews", 3, 1.5), ("plain", 4, 2.0)],
+        "headline string, n int, score double",
+    )
+    esc = sources.unicode_escape_columns(df)
+    got = {r["n"]: r["headline"] for r in esc.collect()}
+    assert got[3] == "caf\\xe9\\nnews"  # é → \xe9, newline → \n (P21)
+    assert got[4] == "plain"
+
+    path = str(tmp_path / "out.xlsx")
+    sources.write_xlsx(esc.orderBy("n"), path)
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml"} <= names
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    cells = re.findall(r"<t[^>]*>(.*?)</t>", sheet)
+    assert "caf\\xe9\\nnews" in cells and "headline" in cells
+    # header row: blank index header then the 3 columns; 2 data rows
+    assert sheet.count("<row") == 3
+    assert "<v>1.5</v>" in sheet and "<v>3</v>" in sheet
+
+
+def test_nyt_archive_scan(spark):
+    """S13: injectable fetch + Spark-side parse — headline filter
+    (is_valid), subject-only keywords, reference projection
+    (NYT_archive_explorer.py:33-81)."""
+    def fake_fetch(month: str) -> str:
+        return json.dumps({"response": {"docs": [
+            {
+                "headline": {"main": f"Story {month}"},
+                "pub_date": "2019-01-02T10:00:00+0000",
+                "document_type": "article",
+                "type_of_material": "News",
+                "section_name": "World",
+                "subsection_name": None,
+                "web_url": f"https://nyt.com/{month}/a",
+                "byline": {"original": "By A. B."},
+                "keywords": [
+                    {"name": "subject", "value": "Elections"},
+                    {"name": "persons", "value": "Someone"},
+                    {"name": "subject", "value": "Votes"},
+                ],
+            },
+            {   # no headline.main → dropped by is_valid
+                "headline": {},
+                "pub_date": "2019-01-03T10:00:00+0000",
+                "document_type": "article",
+                "web_url": "https://nyt.com/drop",
+                "byline": {},
+                "keywords": [],
+            },
+        ]}})
+
+    out = sources.read_nyt_archive(spark, ["2019/1", "2019/2"], fake_fetch)
+    assert out.columns == [
+        "headline", "date", "doc_type", "material_type", "section",
+        "subsection", "keywords", "url", "byline",
+    ]
+    rows = sorted(out.collect(), key=lambda r: r["url"])
+    assert len(rows) == 2  # one valid doc per month, invalid dropped
+    r = rows[0]
+    assert r["headline"] == "Story 2019/1"
+    assert str(r["date"]) == "2019-01-02"
+    assert r["keywords"] == ["Elections", "Votes"]  # subject-only
+    assert r["byline"] == "By A. B." and r["material_type"] == "News"
