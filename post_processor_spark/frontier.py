@@ -45,6 +45,33 @@ DEFAULT_PRIORITY = 5
 
 ORDER_COLS = ["priority", "generation", "seq", "sub"]
 
+# Packed rank key: lexicographic (priority, generation) equals numeric
+# order of (priority << 32 | generation) for the documented domain —
+# both are non-negative ints (priority is a small scheduling class,
+# generation a monotone counter), so the pack/unpack round-trip is exact.
+# One long replaces two ints in every politeness sort + exchange row
+# (UnsafeRow stores each field in an 8-byte slot, so this saves 8 bytes
+# per row in the job's dominant shuffle) and collapses one comparator
+# level out of the rank sort.
+_PACKED_ORDER = ["_pg", "seq", "sub"]
+
+
+def _pack_order(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "_pg", F.shiftleft(F.col("priority").cast("long"), 32) + F.col("generation")
+    ).drop("priority", "generation")
+
+
+def _unpack_order(df: DataFrame) -> DataFrame:
+    return (
+        df.withColumn("priority", F.shiftright(F.col("_pg"), 32).cast("int"))
+        .withColumn(
+            "generation",
+            F.col("_pg").bitwiseAND(F.lit(0xFFFFFFFF)).cast("int"),
+        )
+        .drop("_pg")
+    )
+
 
 def canonicalize_candidates(df: DataFrame) -> DataFrame:
     """(url, priority, generation, seq, sub) → + canonical/host/hashes."""
@@ -82,6 +109,28 @@ def _host_from_canonical(canon_url):
     return F.substring_index(F.substring_index(after, "/", 1), "?", 1)
 
 
+def _slim_encode(df: DataFrame) -> DataFrame:
+    """Delta-encode url/host against canonical_url: both ride as NULL
+    whenever recoverable (url equals its canonical form; host equals the
+    canonical authority — the overwhelmingly common case). IDEMPOTENT
+    (null in → null out), so encoded frames can flow through
+    politeness_schedule's own encode unchanged. Decode is
+    F.coalesce(url, canonical_url) / the _host_from_canonical coalesce.
+    Applied BEFORE a .persist() this also slims the cache build — the
+    columnar cache otherwise materializes three full string columns per
+    row that the rank path never reads."""
+    rec_host = _host_from_canonical(F.col("canonical_url"))
+    return df.withColumn(
+        "url",
+        F.when(F.col("url") == F.col("canonical_url"), F.lit(None))
+        .otherwise(F.col("url")),
+    ).withColumn(
+        "host",
+        F.when(rec_host.eqNullSafe(F.col("host")), F.lit(None))
+        .otherwise(F.col("host")),
+    )
+
+
 def _dedupe_candidates_slim(df: DataFrame) -> DataFrame:
     """dedupe_candidates specialised to canonicalized frames
     (_DEDUP_COLS): the exchange carries a DELTA-ENCODED payload — `url`
@@ -96,20 +145,22 @@ def _dedupe_candidates_slim(df: DataFrame) -> DataFrame:
     Exact: the encode compares recovered vs actual per row, so any row
     where recovery would be wrong carries the explicit value."""
     rec_host = _host_from_canonical(F.col("canonical_url"))
-    slim = df.select(
-        "url_hash",
-        F.when(F.col("url") == F.col("canonical_url"), F.lit(None))
-        .otherwise(F.col("url"))
-        .alias("_url_d"),
-        "canonical_url",
-        F.when(rec_host.eqNullSafe(F.col("host")), F.lit(None))
-        .otherwise(F.col("host"))
-        .alias("_host_d"),
-        "priority", "generation", "seq", "sub",
+    slim = _pack_order(
+        df.select(
+            "url_hash",
+            F.when(F.col("url") == F.col("canonical_url"), F.lit(None))
+            .otherwise(F.col("url"))
+            .alias("_url_d"),
+            "canonical_url",
+            F.when(rec_host.eqNullSafe(F.col("host")), F.lit(None))
+            .otherwise(F.col("host"))
+            .alias("_host_d"),
+            "priority", "generation", "seq", "sub",
+        )
     )
-    key = F.struct(*[F.col(c) for c in ORDER_COLS])
+    key = F.struct(*[F.col(c) for c in _PACKED_ORDER])
     payload = [c for c in slim.columns if c != "url_hash"]
-    deduped = (
+    deduped = _unpack_order(
         slim.groupBy("url_hash")
         .agg(F.min_by(F.struct(*[F.col(c) for c in payload]), key).alias("_r"))
         .select("url_hash", "_r.*")
@@ -174,23 +225,17 @@ def politeness_schedule(
     has_status = "status" in pending.columns
 
     # Slim exchange: url/host ride as NULL whenever recoverable from
-    # canonical_url (the same delta encoding as _dedupe_candidates_slim)
-    # and are re-derived AFTER the windows. The rank/dedupe window
-    # exchanges are this job's dominant shuffle and the high-parallelism
-    # level is DRAM-bandwidth-bound (BENCH/BASELINE.md calibrations), so
-    # exchange bytes are the scaling lever; the re-derivation is
-    # substring cuts — CPU-side work. Exact: encode compares recovered
-    # vs actual per row, so unrecoverable rows carry explicit values.
-    rec_host = _host_from_canonical(F.col("canonical_url"))
-    pending = pending.withColumn(
-        "url",
-        F.when(F.col("url") == F.col("canonical_url"), F.lit(None))
-        .otherwise(F.col("url")),
-    ).withColumn(
-        "host",
-        F.when(rec_host.eqNullSafe(F.col("host")), F.lit(None))
-        .otherwise(F.col("host")),
-    )
+    # canonical_url (_slim_encode, idempotent) and are re-derived AFTER
+    # the windows. The rank/dedupe window exchanges are this job's
+    # dominant shuffle and the high-parallelism level is
+    # DRAM-bandwidth-bound (BENCH/BASELINE.md calibrations), so exchange
+    # bytes are the scaling lever; the re-derivation is substring cuts —
+    # CPU-side work. Exact: encode compares recovered vs actual per row,
+    # so unrecoverable rows carry explicit values.
+    pending = _slim_encode(pending)
+    # pack (priority, generation) into one rank long for the sort +
+    # exchange; unpacked after the windows (exact — see _pack_order)
+    pending = _pack_order(pending)
 
     big_hosts = (
         pending.groupBy("host_hash")
@@ -201,23 +246,23 @@ def politeness_schedule(
     norm = pending.join(F.broadcast(big_hosts), "host_hash", "left_anti")
     big = pending.join(F.broadcast(big_hosts), "host_hash", "left_semi")
 
-    w_host = Window.partitionBy("host_hash").orderBy(*ORDER_COLS)
+    w_host = Window.partitionBy("host_hash").orderBy(*_PACKED_ORDER)
     salt = F.pmod(F.col("url_hash"), F.lit(salt_parts))
-    w_shard = Window.partitionBy("host_hash", salt).orderBy(*ORDER_COLS)
+    w_shard = Window.partitionBy("host_hash", salt).orderBy(*_PACKED_ORDER)
 
     if dedupe:
         # explicit repartition so the dedupe window (whose partition spec
         # is a SUPERSET of the repartition keys — satisfied without a new
         # exchange) and the rank window share one exchange per branch
         norm = norm.repartition("host_hash")
-        w_d = Window.partitionBy("host_hash", "url_hash").orderBy(*ORDER_COLS)
+        w_d = Window.partitionBy("host_hash", "url_hash").orderBy(*_PACKED_ORDER)
         norm = (
             norm.withColumn("_dn", F.row_number().over(w_d))
             .filter(F.col("_dn") == 1)
             .drop("_dn")
         )
         big = big.repartition(F.col("host_hash"), salt)
-        w_ds = Window.partitionBy("host_hash", salt, "url_hash").orderBy(*ORDER_COLS)
+        w_ds = Window.partitionBy("host_hash", salt, "url_hash").orderBy(*_PACKED_ORDER)
         big = (
             big.withColumn("_dn", F.row_number().over(w_ds))
             .filter(F.col("_dn") == 1)
@@ -286,12 +331,13 @@ def politeness_schedule(
         )
     out = decided.unionByName(overflow.select(*decided.columns))
     # decode the slim exchange (post-shuffle, narrow)
-    return out.withColumn(
+    out = out.withColumn(
         "url", F.coalesce(F.col("url"), F.col("canonical_url"))
     ).withColumn(
         "host",
         F.coalesce(F.col("host"), _host_from_canonical(F.col("canonical_url"))),
     )
+    return _unpack_order(out)
 
 
 def top_per_host(
@@ -306,6 +352,7 @@ def top_per_host(
     Used to maintain the scheduler head cache."""
     if skew_threshold is None:
         skew_threshold = max(cap * salt_parts, 4096)
+    df = _pack_order(df)
     big_hosts = (
         df.groupBy("host_hash")
         .count()
@@ -315,14 +362,14 @@ def top_per_host(
     norm = df.join(F.broadcast(big_hosts), "host_hash", "left_anti")
     big = df.join(F.broadcast(big_hosts), "host_hash", "left_semi")
     salt = F.pmod(F.col("url_hash"), F.lit(salt_parts))
-    w_shard = Window.partitionBy("host_hash", salt).orderBy(*ORDER_COLS)
+    w_shard = Window.partitionBy("host_hash", salt).orderBy(*_PACKED_ORDER)
     survivors = (
         big.withColumn("_srn", F.row_number().over(w_shard))
         .filter(F.col("_srn") <= cap)
         .drop("_srn")
     )
-    w_host = Window.partitionBy("host_hash").orderBy(*ORDER_COLS)
-    return (
+    w_host = Window.partitionBy("host_hash").orderBy(*_PACKED_ORDER)
+    return _unpack_order(
         norm.unionByName(survivors)
         .withColumn("_rn", F.row_number().over(w_host))
         .filter(F.col("_rn") <= cap)
@@ -426,7 +473,11 @@ def schedule_seed_list(
     clearCache."""
     from .seen import filter_unseen as _filter_unseen
 
-    cand = seed_candidates(seeds)
+    # delta-encode BEFORE the persist: the cached unseen frame then
+    # carries null url/host for the common case instead of three full
+    # string columns per row (the cache build was the largest remaining
+    # per-row byte cost of this pass; politeness re-encodes idempotently)
+    cand = _slim_encode(seed_candidates(seeds))
     unseen = _filter_unseen(
         cand, seen, use_bloom=True, bloom=bloom, exact_join="broadcast_fused"
     ).persist()
@@ -581,8 +632,14 @@ def run_generation(
         host_delays = robots.select(
             canon.host_hash(F.col("host")).alias("host_hash"), "crawl_delay_sec"
         )
+    # pending rows carry CONSTANT status/not_before/sched_gen by
+    # construction (discovery writes them exactly once as
+    # pending/null/null; the merge-on-read view and the head exclude
+    # everything else) — dropping them keeps three dead 8-byte slots out
+    # of the rank exchange; politeness re-synthesizes them.
     updated = politeness_schedule(
-        schedulable, generation, budget_per_host, crawl_delay_sec, salt_parts,
+        schedulable.drop("status", "not_before", "sched_gen"),
+        generation, budget_per_host, crawl_delay_sec, salt_parts,
         host_delays=host_delays,
     )
     updated = updated.persist()

@@ -158,6 +158,28 @@ def _load_runs(path: str) -> list[dict]:
         return [json.loads(ln) for ln in f if ln.strip()]
 
 
+# Plausible band for a measured hardware-ceiling efficiency on this box:
+# true ceilings are ~0.94 (CPU) and ~0.62 (DRAM bandwidth), both measured
+# repeatedly in quiet windows. A calibration outside the band is broken
+# measurement noise IN EITHER DIRECTION — a 4.58 'ceiling' is as
+# meaningless as a 0.07 one — and normalizing by it inflates or deflates
+# eff/ceil arbitrarily. Symmetric rule: only in-band calibrations count;
+# the round's ceiling is the min of its valid calibrations; rounds with
+# no valid calibration get no normalized value at all.
+CEIL_VALID_LO, CEIL_VALID_HI = 0.30, 1.05
+
+
+def _round_norm(r: dict) -> float | None:
+    """min(eff/ceiling, 1.0) over this round's VALID calibrations, or
+    None when both calibrations are out of band (broken window)."""
+    valid = [
+        x for x in (r["raw_eff"], r["bw_eff"]) if CEIL_VALID_LO <= x <= CEIL_VALID_HI
+    ]
+    if not valid:
+        return None
+    return min(r["eff"] / min(valid), 1.0)
+
+
 def main() -> None:
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -212,14 +234,19 @@ def main() -> None:
     bw_hi = max(r["bw_hi"] for r in rounds)
     bw_eff = (bw_hi / bw_lo) / (N_HI / N_LO)
     med_eff = statistics.median(r["eff"] for r in rounds)
-    med_norm = statistics.median(
-        r["eff"] / min(r["raw_eff"], r["bw_eff"], 1.0) for r in rounds
-    )
+    norms = [n for n in (_round_norm(r) for r in rounds) if n is not None]
+    med_norm = statistics.median(norms) if norms else float("nan")
+    n_clean = len(norms)
+
+    def _norm_cell(r: dict) -> str:
+        n = _round_norm(r)
+        return f"{n:.2f}" if n is not None else "—"
+
     run_rows = "\n".join(
         f"| {r.get('ts', '?')} | {r.get('rev', '?')} ({r.get('workload', 'v1')}) | {r.get('n_urls', 0) / 1e6:.0f}M | "
         f"{r['lo']['rate']:,.0f} | "
         f"{r['hi']['rate']:,.0f} | {r['eff']:.3f} | {r['raw_eff']:.2f} | "
-        f"{r['bw_eff']:.2f} | {r['eff'] / min(r['raw_eff'], r['bw_eff'], 1.0):.2f} |"
+        f"{r['bw_eff']:.2f} | {_norm_cell(r)} |"
         for r in all_runs
     )
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
@@ -262,10 +289,13 @@ partition is hot.
 
 Each row is one complete comparison: fresh same-run calibrations + fresh
 JVMs at both levels, back-to-back under the same host conditions.
-eff/ceil = Spark efficiency normalized by that run's LOWER hardware
-ceiling, capped at 1.0 — a measured ceiling above 1.0 is calibration
-noise, not real headroom (≥1.0 means the job scaled as well as the
-hardware allowed during that window).
+eff/ceil = Spark efficiency normalized by the round's LOWER VALID
+hardware ceiling, capped at 1.0. Validity is SYMMETRIC: a calibration
+outside [{CEIL_VALID_LO:.2f}, {CEIL_VALID_HI:.2f}] is broken measurement
+noise whether too high (e.g. a 4.6 'ceiling') or too low (e.g. 0.07 —
+normalizing by it would fabricate eff/ceil values of 3-6); such
+calibrations are excluded, and a round with no valid calibration shows
+'—' and is excluded from the normalized median.
 
 | when | rev | URLs | local[{N_LO}] URLs/s | local[{N_HI}] URLs/s | eff | cpu ceil | bw ceil | eff/ceil |
 |---|---|---|---|---|---|---|---|---|
@@ -280,7 +310,8 @@ hardware allowed during that window).
 
 **Spark scaling efficiency (rate_4N / rate_N) / 4 = {eff:.3f}**
 (median per-round efficiency {med_eff:.3f}; median same-run
-ceiling-normalized efficiency {med_norm:.2f})
+ceiling-normalized efficiency {med_norm:.2f} over {n_clean} rounds with
+a valid in-band calibration, out of {len(rounds)} logged)
 
 Reading the table: the hardware calibrations themselves swing wildly
 between windows (the bw-ceiling column alone spans its min to >1.0 —
@@ -311,6 +342,8 @@ serializing on the hot host.
     print(json.dumps({
         "local_lo": lo, "local_hi": hi, "efficiency": round(eff, 3),
         "median_round_eff": round(med_eff, 3),
+        "median_norm_eff": round(med_norm, 3) if norms else None,
+        "clean_rounds": n_clean,
         "raw_ceiling": round(raw_eff, 3), "bw_ceiling": round(bw_eff, 3),
         "all_rounds": [round(r["eff"], 3) for r in rounds],
     }))
