@@ -562,7 +562,12 @@ def _q_frontier_schedule(spark, sf):
     window row_number() <= B, which DuckDB can express directly.
     skew_threshold=50 forces the mega-host through the salted path."""
     seeds = _frontier_seed_docs(spark, sf)
-    pending = frontier.seeds_to_frontier(seeds)
+    # status/not_before/sched_gen are synthesized constants on a fresh
+    # frontier — dropping them keeps three dead slots out of the rank
+    # exchange (same as run_generation's call site)
+    pending = frontier.seeds_to_frontier(seeds).drop(
+        "status", "not_before", "sched_gen"
+    )
     return (
         frontier.politeness_schedule(
             pending, generation=1, budget_per_host=8, skew_threshold=50

@@ -45,13 +45,21 @@ def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 32, shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<long>) — minhash via min(xxhash64(shingle, seed_i)).
+    """(id, sig: array<long>) — minhash via min over a derived hash
+    family.
 
-    One explode + one groupBy with num_hashes min() partial aggregates —
-    map-side combine keeps the shuffle at |docs| rows."""
-    sh = shingles(docs, text_col, id_col, shingle_n)
+    The shingle STRING is hashed exactly once (xxhash64); the i-th family
+    member is xxhash64 over that 8-byte long + the seed — constant-time
+    re-mixing instead of num_hashes full string scans per shingle row
+    (the string hashing was the dominant CPU of the whole candidate
+    pipeline: ~32 O(len) scans per shingle). One explode + one groupBy
+    with num_hashes min() partial aggregates — map-side combine keeps the
+    shuffle at |docs| rows."""
+    sh = shingles(docs, text_col, id_col, shingle_n).withColumn(
+        "_h", F.xxhash64(F.col("shingle"))
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("id").agg(*aggs)

@@ -378,15 +378,19 @@ def top_per_host(
 
 
 def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Tag candidates blocked by robots.txt disallow rules (north_rule:
-    per-domain politeness with robots budget).
+    """Tag candidates blocked by robots.txt rules (north_rule: per-domain
+    politeness with robots budget).
 
-    robots(host, disallow: array<string>) — per-host rules as the crawler
-    would fetch them (injectable; the sandbox has no network). A candidate
-    is blocked when ANY disallow prefix matches its canonical path
-    (REP simplified: Allow overrides are not modeled — documented).
-    Pure column expressions: broadcast rules join + exists/startswith,
-    no per-row Python. Returns candidates + `robots_blocked` boolean."""
+    robots(host, disallow: array<string>[, allow: array<string>]) —
+    per-host rules as the crawler would fetch them (injectable; the
+    sandbox has no network). REP longest-match semantics: the most
+    specific (longest) matching rule wins; on a tie the Allow wins
+    (least-restrictive, per the REP RFC 9309 §2.2.2) — so a candidate is
+    blocked iff its longest matching disallow prefix is strictly longer
+    than its longest matching allow prefix. Without an allow column this
+    degrades to 'any disallow prefix matches'. Pure column expressions:
+    broadcast rules join + filter/aggregate over the prefix arrays, no
+    per-row Python. Returns candidates + `robots_blocked` boolean."""
     # Path via the same parse that produced `host` — an instr('://') scan
     # would take a mid-string '://' embedded in a query (e.g.
     # 'host.com/redirect?u=https://x') for a scheme separator and derive a
@@ -395,19 +399,33 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     rest = canon._parse_url(cu)["rest"]
     path = F.when(rest == "", F.lit("/")).otherwise(rest)
     with_path = candidates.withColumn("_path", path)
-    rules = robots.select(
-        F.col("host").alias("_rhost"), F.col("disallow").alias("_disallow")
-    )
-    return (
-        with_path.join(F.broadcast(rules), with_path.host == F.col("_rhost"), "left")
-        .withColumn(
-            "robots_blocked",
-            F.coalesce(
-                F.exists("_disallow", lambda p: F.startswith(F.col("_path"), p)),
-                F.lit(False),
-            ),
+    has_allow = "allow" in robots.columns
+    rule_cols = [
+        F.col("host").alias("_rhost"),
+        F.col("disallow").alias("_disallow"),
+    ]
+    if has_allow:
+        rule_cols.append(F.col("allow").alias("_allow"))
+    rules = robots.select(*rule_cols)
+
+    def longest_match(rules_col):
+        return F.aggregate(
+            F.filter(rules_col, lambda p: F.startswith(F.col("_path"), p)),
+            F.lit(0),
+            lambda s, p: F.greatest(s, F.length(p)),
         )
-        .drop("_rhost", "_disallow", "_path")
+
+    joined = with_path.join(
+        F.broadcast(rules), with_path.host == F.col("_rhost"), "left"
+    )
+    dis_len = F.coalesce(longest_match(F.col("_disallow")), F.lit(0))
+    if has_allow:
+        alw_len = F.coalesce(longest_match(F.col("_allow")), F.lit(0))
+        blocked = dis_len > alw_len
+    else:
+        blocked = dis_len > F.lit(0)
+    return joined.withColumn("robots_blocked", blocked).drop(
+        "_rhost", "_disallow", "_path", *(["_allow"] if has_allow else [])
     )
 
 
@@ -456,6 +474,7 @@ def schedule_seed_list(
     salt_parts: int = 16,
     bloom: DataFrame | None = None,
     skew_threshold: int | None = None,
+    exact_join: str = "broadcast_fused",
 ) -> DataFrame:
     """One-exchange scheduling of a fresh seed list against an existing
     seen set — the bench-headline composition, and the fast path for
@@ -465,12 +484,14 @@ def schedule_seed_list(
       anti-join (narrow) → politeness with FUSED dedupe (dedupe + rank
       windows share one host-partitioned exchange per skew branch).
 
-    The seed payload crosses exactly ONE exchange. Requires the seen
-    side to fit a broadcast (filter_unseen exact_join='broadcast_fused');
-    at a 10^10-row seen set use the generation loop's branch path +
-    bucketed layout instead. Result rows are persisted (the politeness
-    census + both skew branches consume them); callers own unpersist/
-    clearCache."""
+    The seed payload crosses exactly ONE exchange. The default
+    exact_join='broadcast_fused' requires the seen side to fit a
+    broadcast; 'shuffle_hash' resolves the maybe-seen subset with a
+    parallel shuffle-hash anti-join instead (no serial broadcast build —
+    see seen.filter_unseen); at a 10^10-row seen set use the generation
+    loop's branch path + bucketed layout instead. Result rows are
+    persisted (the politeness census + both skew branches consume them);
+    callers own unpersist/clearCache."""
     from .seen import filter_unseen as _filter_unseen
 
     # delta-encode BEFORE the persist: the cached unseen frame then
@@ -479,7 +500,7 @@ def schedule_seed_list(
     # per-row byte cost of this pass; politeness re-encodes idempotently)
     cand = _slim_encode(seed_candidates(seeds))
     unseen = _filter_unseen(
-        cand, seen, use_bloom=True, bloom=bloom, exact_join="broadcast_fused"
+        cand, seen, use_bloom=True, bloom=bloom, exact_join=exact_join
     ).persist()
     return politeness_schedule(
         unseen,
@@ -551,6 +572,13 @@ def run_generation(
     robots (optional): per-host disallow rules (see apply_robots). Blocked
     rows are committed with status='blocked' — in the merge-on-read view a
     non-pending status is a done-key, so they never re-enter the frontier.
+    With the head cache active, any host that blocks ≥1 head row this
+    generation gets its schedulable head slice rebuilt exactly from the
+    full pending view BEFORE scheduling (see the inline refill note) —
+    without this, blocked rows drain a host's head faster than the
+    ≤ B/generation the head-exactness argument allows, and a rule
+    blocking most of a head could under-schedule that host until the
+    next compaction refill.
 
     The frontier commit is a DELTA (finished + newly discovered rows),
     cost ∝ scheduled+new instead of O(frontier); every `compact_every`
@@ -611,6 +639,7 @@ def run_generation(
             .persist()
         )
 
+    refill = None
     if robots is not None:
         gated = apply_robots(pending, robots).persist()
         blocked = (
@@ -621,10 +650,67 @@ def run_generation(
             .select(*FRONTIER_COLS)
         )
         schedulable = gated.filter(~F.col("robots_blocked")).drop("robots_blocked")
+        # rows_in / n_blocked folded into ONE aggregate (driver-side
+        # actions are fixed per-generation overhead); computed HERE, not
+        # after scheduling, because the head refill below must know
+        # whether anything was blocked before politeness runs.
+        a = gated.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("robots_blocked").cast("long")).alias("b"),
+        ).collect()[0]
+        rows_in = a["n"]
+        n_blocked = int(a["b"] or 0)
+        if head_df is not None and n_blocked > 0:
+            # Head-cache × robots exactness fix: the head-exactness
+            # argument assumes ≤ B rows leave a host's head per
+            # generation, but robots-blocked head rows ALSO leave (they
+            # commit non-pending and never return) — a rule that blocks
+            # most of a host's head would leave it with fewer than B
+            # schedulable head rows until the next compaction refill,
+            # under-scheduling the host even within THIS generation
+            # (the true top-B schedulable rows may sit below the head).
+            # Whenever a host blocked ≥1 head row this generation, its
+            # schedulable slice is rebuilt EXACTLY from the full pending
+            # view (delta-log merge filtered to the affected hosts via a
+            # broadcast semi-join), with current robots applied first —
+            # so scheduling and the post-generation head write both see
+            # the exact schedulable top again. Robots-blocked rows BELOW
+            # the head stay pending in the log (they are gated — and
+            # committed blocked — at the next full-rank generation).
+            blocked_hosts = (
+                gated.filter(F.col("robots_blocked")).select("host_hash").distinct()
+            )
+            done_keys = frontier.filter(F.col("status") != "pending").select(
+                "url_hash"
+            )
+            full_pending = frontier.filter(F.col("status") == "pending").join(
+                done_keys, "url_hash", "left_anti"
+            )
+            affected = full_pending.join(
+                F.broadcast(blocked_hosts), "host_hash", "left_semi"
+            )
+            affected = (
+                apply_robots(affected, robots)
+                .filter(~F.col("robots_blocked"))
+                .drop("robots_blocked")
+            )
+            refreshed = top_per_host(
+                affected.select(*FRONTIER_COLS), head_cap, salt_parts
+            )
+            refill = (
+                schedulable.join(
+                    F.broadcast(blocked_hosts), "host_hash", "left_anti"
+                )
+                .unionByName(refreshed.select(*schedulable.columns))
+                .persist()
+            )
+            schedulable = refill
     else:
         gated = None
         blocked = None
         schedulable = pending
+        rows_in = None
+        n_blocked = 0
 
     # per-host crawl-delay from the robots table when provided
     host_delays = None
@@ -682,19 +768,12 @@ def run_generation(
     # scheduled rows are fetched within the generation → status done
     finished = scheduled.withColumn("status", F.lit("done"))
     # Driver-side actions are per-generation FIXED overhead that caps the
-    # headline rate and scaling efficiency, so counts are folded: rows_in
-    # and n_blocked come from ONE aggregate over the gated/updated cache,
-    # and n_scheduled is the sum of the per-partition lineage counts.
-    if gated is not None:
-        a = gated.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("robots_blocked").cast("long")).alias("b"),
-        ).collect()[0]
-        rows_in = a["n"]
-        n_blocked = int(a["b"] or 0)
-    else:
+    # headline rate and scaling efficiency, so counts are folded: with
+    # robots, rows_in/n_blocked came from the single pre-scheduling
+    # aggregate above; n_scheduled is the sum of per-partition lineage
+    # counts.
+    if rows_in is None:
         rows_in = updated.count()
-        n_blocked = 0
     # per-partition lineage (A6/north_rule): partition-level scheduled counts
     part_counts = (
         scheduled.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -776,7 +855,8 @@ def run_generation(
         )
         writes.append(("head", head_new, generation, "snapshot"))
     store.write_many(writes)
-    for h in (updated, pending, discovered, new_base) + ((gated,) if gated is not None else ()):
+    extras = tuple(h for h in (gated, refill) if h is not None)
+    for h in (updated, pending, discovered, new_base) + extras:
         h.unpersist()
     return {
         "generation": generation,

@@ -9,8 +9,10 @@ span-extraction pass at ingest: anchors are parsed ONCE per document into
 `link` spans; citation matching later is an equality join on registrable
 domain, not a regex per scope entry.
 
-All heavy lifting is Arrow-batched pandas (`mapInPandas`,
-pd.Series.str.extractall) — no per-row Python loops over Spark rows.
+Span extraction is pure JVM column expressions (regexp_extract_all +
+transform/filter higher-order functions — whole-stage codegen, no Python
+in the span path); the only Python is the uuid5 id derivation (P12) and
+the meta normalization, both Arrow-batched.
 """
 
 from __future__ import annotations
@@ -21,22 +23,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .schema import DOCS_META, DOCUMENTS, SPAN
+from .schema import DOCS_META
 
 # one compiled pass over html_content; reference pattern
 # (processor_domain.py:51-52) is per-scope-domain — ours captures every
 # anchor and defers scope filtering to a join.
 _ANCHOR_RE = r"""(?is)<a\s+href=["']([^"']+)["'][^>]*>(.*?)</a>"""
-
-
-def _aslist(v) -> list:
-    """Arrow hands array columns to pandas as numpy arrays — normalize."""
-    if v is None:
-        return []
-    if isinstance(v, float):  # NaN
-        return []
-    return list(v)
 
 
 def _uuid5(series: pd.Series) -> pd.Series:
@@ -48,100 +42,108 @@ def _uuid5(series: pd.Series) -> pd.Series:
     )
 
 
-def _domain_spans_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One Arrow batch of raw domain docs → (doc_id, spans).
+# returnType as a DataType INSTANCE, not a DDL string — the string form
+# would be parsed through the active SparkContext at import time
+_uuid5_udf = F.pandas_udf(_uuid5, T.StringType())
 
-    Span order per FIXTURES.md §3: article_text first, then anchors in
-    html_content document order, then found_urls entries not already seen
-    as anchors (order preserved)."""
-    html = pdf["html_content"].fillna("").astype(str)
-    anchors = html.str.extractall(_ANCHOR_RE)  # vectorized across the batch
-    # (url, anchor_text) list per source row — grouped assembly, no
-    # per-match iterrows
-    if len(anchors):
-        a_lists = {
-            idx: list(zip(g[0].tolist(), g[1].tolist()))
-            for idx, g in anchors.groupby(level=0)
-        }
-    else:
-        a_lists = {}
-    ids = _uuid5(pdf["url"]).tolist()
-    texts = (
-        pdf["article_text"].fillna("").astype(str).tolist()
-        if "article_text" in pdf
-        else [""] * len(pdf)
+_SPAN_ARR = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def _span(kind, text, media_ref, offset):
+    return F.struct(
+        kind.alias("kind"),
+        text.alias("text"),
+        media_ref.alias("media_ref"),
+        offset.cast("int").alias("offset"),
     )
-    fus = pdf["found_urls"].tolist() if "found_urls" in pdf else [None] * len(pdf)
-    out_spans = []
-    for row_idx, text, fu_list in zip(pdf.index, texts, fus):
-        spans = []
-        off = 0
-        if text:
-            spans.append({"kind": "text", "text": text, "media_ref": "", "offset": off})
-            off += 1
-        seen_urls = set()
-        for u, t in a_lists.get(row_idx, ()):
-            spans.append({"kind": "link", "text": t, "media_ref": u, "offset": off})
-            seen_urls.add(u)
-            off += 1
-        for fu in _aslist(fu_list):
-            u = fu["url"]
-            t = fu.get("title", "") if isinstance(fu, dict) else (fu["title"] or "")
-            if u not in seen_urls:
-                spans.append({"kind": "link", "text": t, "media_ref": u, "offset": off})
-                off += 1
-        out_spans.append(spans)
-    return pd.DataFrame({"doc_id": ids, "spans": out_spans})
 
 
-def _twitter_spans_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Tweet rows → spans: text, then found_urls order, then mentions
-    (FIXTURES.md §4; reference field order load_input.py:108-127,200)."""
-    ids = _uuid5(pdf["url"]).tolist()
-    texts = (
-        pdf["article_text"].fillna("").astype(str).tolist()
-        if "article_text" in pdf
-        else [""] * len(pdf)
-    )
-    fus = pdf["found_urls"].tolist() if "found_urls" in pdf else [None] * len(pdf)
-    mns = pdf["mentions"].tolist() if "mentions" in pdf else [None] * len(pdf)
-    out_spans = []
-    for text, fu_list, m_list in zip(texts, fus, mns):
-        spans = []
-        off = 0
-        if text:
-            spans.append({"kind": "text", "text": text, "media_ref": "", "offset": off})
-            off += 1
-        for u in _aslist(fu_list):
-            spans.append({"kind": "link", "text": "", "media_ref": str(u), "offset": off})
-            off += 1
-        for m in _aslist(m_list):
-            spans.append(
-                {"kind": "mention", "text": "", "media_ref": "@" + str(m), "offset": off}
-            )
-            off += 1
-        out_spans.append(spans)
-    return pd.DataFrame({"doc_id": ids, "spans": out_spans})
+def _text_span(at):
+    return F.when(
+        at != "", F.array(_span(F.lit("text"), at, F.lit(""), F.lit(0)))
+    ).otherwise(F.array().cast(_SPAN_ARR))
+
+
+def _col_or(df: DataFrame, name: str, default):
+    return F.col(name) if name in df.columns else default
 
 
 def domain_docs_to_documents(raw: DataFrame) -> DataFrame:
     """raw: url,title,author,date,html_content,article_text,domain,
-    found_urls(array<struct<title,url>>) → canonical documents."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _domain_spans_batch(pdf)
+    found_urls(array<struct<title,url>>) → canonical documents.
 
-    return raw.mapInPandas(gen, schema=DOCUMENTS)
+    Span order per FIXTURES.md §3: article_text first, then anchors in
+    html_content document order, then found_urls entries not already seen
+    as anchors (order preserved; duplicates WITHIN found_urls are kept —
+    only anchor urls suppress). Fully JVM-side since round 3:
+    regexp_extract_all for the anchor scan + transform/filter for the
+    span assembly (was an Arrow-batch pandas pass with a per-row list
+    loop — VERDICT r2 minor #3); only the uuid5 id (P12) touches Python,
+    as a scalar Arrow-batched UDF over the url column alone."""
+    html = F.coalesce(_col_or(raw, "html_content", F.lit(None)).cast("string"), F.lit(""))
+    urls = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 2)
+    at = F.coalesce(_col_or(raw, "article_text", F.lit(None)).cast("string"), F.lit(""))
+    n_text = F.when(at != "", F.lit(1)).otherwise(F.lit(0))
+    anchor_spans = F.transform(
+        urls, lambda u, i: _span(F.lit("link"), F.get(texts, i), u, n_text + i)
+    )
+    fu = F.coalesce(
+        _col_or(
+            raw, "found_urls",
+            F.lit(None).cast("array<struct<title:string,url:string>>"),
+        ),
+        F.array().cast("array<struct<title:string,url:string>>"),
+    )
+    # a found_urls entry is kept unless its url already appeared as an
+    # anchor; null urls are kept (array_contains yields null → coalesce)
+    kept = F.filter(
+        fu, lambda e: F.coalesce(~F.array_contains(urls, e["url"]), F.lit(True))
+    )
+    found_spans = F.transform(
+        kept,
+        lambda e, j: _span(
+            F.lit("link"), e["title"], e["url"], n_text + F.size(urls) + j
+        ),
+    )
+    spans = F.concat(_text_span(at), anchor_spans, found_spans).cast(_SPAN_ARR)
+    return raw.select(
+        _uuid5_udf(F.col("url").cast("string")).alias("doc_id"),
+        spans.alias("spans"),
+    )
 
 
 def twitter_docs_to_documents(raw: DataFrame) -> DataFrame:
     """raw: url,article_text,found_urls(array<string>),mentions(array<string>)
-    → canonical documents."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _twitter_spans_batch(pdf)
-
-    return raw.mapInPandas(gen, schema=DOCUMENTS)
+    → canonical documents. Spans: text, then found_urls order, then
+    mentions (FIXTURES.md §4; reference field order
+    load_input.py:108-127,200). Pure column expressions — see
+    domain_docs_to_documents."""
+    at = F.coalesce(_col_or(raw, "article_text", F.lit(None)).cast("string"), F.lit(""))
+    n_text = F.when(at != "", F.lit(1)).otherwise(F.lit(0))
+    fu = F.coalesce(
+        _col_or(raw, "found_urls", F.lit(None).cast("array<string>")),
+        F.array().cast("array<string>"),
+    )
+    mn = F.coalesce(
+        _col_or(raw, "mentions", F.lit(None).cast("array<string>")),
+        F.array().cast("array<string>"),
+    )
+    link_spans = F.transform(
+        fu, lambda u, i: _span(F.lit("link"), F.lit(""), u.cast("string"), n_text + i)
+    )
+    mention_spans = F.transform(
+        mn,
+        lambda m, j: _span(
+            F.lit("mention"), F.lit(""), F.concat(F.lit("@"), m.cast("string")),
+            n_text + F.size(fu) + j,
+        ),
+    )
+    spans = F.concat(_text_span(at), link_spans, mention_spans).cast(_SPAN_ARR)
+    return raw.select(
+        _uuid5_udf(F.col("url").cast("string")).alias("doc_id"),
+        spans.alias("spans"),
+    )
 
 
 def domain_docs_meta(raw: DataFrame) -> DataFrame:

@@ -253,6 +253,12 @@ def filter_unseen(
     the worst possible skew — and the expression key would defeat the
     bucketed layout's exchange-free scan. Used by the seed-list fast
     path (frontier.schedule_seed_list).
+    exact_join='shuffle_hash': the branch plan with a shuffle-hash hint
+    on the seen side of the maybe-resolve join — no serial broadcast
+    relation build (the broadcast build is a fixed Amdahl section that
+    caps scaling efficiency as core count grows); both sides exchange
+    and hash in parallel instead. Pick this when the seen side is large
+    enough that its broadcast build rivals the per-core pass time.
 
     materialize=True: persist + force the RESULT, then release the
     intermediate cache. Use when the caller consumes the result more than
@@ -263,8 +269,11 @@ def filter_unseen(
     # NOTE: no .distinct() on the seen side — left_anti semantics ignore
     # duplicate matches, and a distinct would shuffle the full seen table
     # (10^10 rows at target scale) before every generation's join.
-    if exact_join not in ("branch", "broadcast_fused"):
-        raise ValueError(f"exact_join must be 'branch' or 'broadcast_fused', got {exact_join!r}")
+    if exact_join not in ("branch", "broadcast_fused", "shuffle_hash"):
+        raise ValueError(
+            "exact_join must be 'branch', 'broadcast_fused' or"
+            f" 'shuffle_hash', got {exact_join!r}"
+        )
     if not use_bloom:
         out = candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
         if materialize:
@@ -300,7 +309,10 @@ def filter_unseen(
     ).persist()
     definitely_unseen = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    resolved = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+    seen_side = seen.select("url_hash")
+    if exact_join == "shuffle_hash":
+        seen_side = seen_side.hint("shuffle_hash")
+    resolved = maybe.join(seen_side, "url_hash", "left_anti")
     out = definitely_unseen.unionByName(resolved)
     if materialize:
         out = out.persist()

@@ -206,12 +206,19 @@ def stage_json_to_csv(spark: SparkSession, json_dir: str, output_dir: str) -> Da
     The global row_number for the id is a single-partition window — this
     is a fixture/staging utility by design; the engine's pipeline path
     reads JSON directly (read_domain_json) and derives stable uuid5 ids
-    (P12), never this enumeration."""
+    (P12), never this enumeration.
+
+    Only *.json files are ingested (pathGlobFilter), matching the
+    reference's endswith('.json') listing (utils.py:41-42). Serialization
+    difference (documented): found_urls is staged as a JSON string via
+    write_csv's to_json, where the reference writes Python's
+    str(list-of-dicts) repr — same content, different quoting."""
     from pyspark.sql import Window
 
     raw = (
         spark.read.schema(DOMAIN_STAGING_SCHEMA)
         .option("multiLine", True)
+        .option("pathGlobFilter", "*.json")
         .json(json_dir)
         .withColumn("_file", F.input_file_name())
     )
@@ -273,9 +280,21 @@ def _xlsx_col_ref(i: int) -> str:
     return ref
 
 
+_XML_ILLEGAL = dict.fromkeys(
+    # XML 1.0 cannot represent these AT ALL (not even as &#x..; refs):
+    # C0 controls except \t \n \r, plus the surrogate block is impossible
+    # in well-formed UTF-8 strings already
+    i for i in range(0x20) if i not in (0x09, 0x0A, 0x0D)
+)
+
+
 def _xml_escape(s: str) -> str:
+    # XML-1.0-illegal control characters are stripped, not escaped —
+    # there is no well-formed representation for them (ADVICE r2): a
+    # \x00 in a cell would otherwise emit an invalid workbook.
     return (
-        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        s.translate(_XML_ILLEGAL)
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         .replace('"', "&quot;")
     )
 
@@ -289,11 +308,14 @@ def write_xlsx(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
 
     Driver-side by nature — one XLSX is one zip archive; this is the
     reference's final fixture-scale report export, not a data-path sink
-    (use write_parquet/write_csv for data)."""
+    (use write_parquet/write_csv for data). Rows stream through
+    toLocalIterator — the driver holds one partition at a time, never the
+    whole frame (ADVICE/VERDICT r2)."""
+    import math
     import zipfile
 
     cols = df.columns
-    rows = df.collect()
+    rows = df.toLocalIterator()
 
     def cell(r: int, c: int, v) -> str:
         ref = f"{_xlsx_col_ref(c)}{r + 1}"
@@ -301,6 +323,13 @@ def write_xlsx(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
             return ""
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, float) and not math.isfinite(v):
+            # <v>nan</v>/<v>inf</v> are not valid numeric cells — emit
+            # the repr as an inline string (what a spreadsheet shows)
+            return (
+                f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                f"{_xml_escape(str(v))}</t></is></c>"
+            )
         if isinstance(v, (int, float)):
             return f'<c r="{ref}"><v>{v}</v></c>'
         return (
@@ -426,7 +455,14 @@ def parse_nyt_archive(responses: DataFrame, raw_col: str = "raw") -> DataFrame:
     (NYT_archive_explorer.py:38-81 parse_response): one row per doc with a
     headline (is_valid, :33-36), keywords filtered to name='subject'
     (:79). All-expression plan — from_json → explode → projections; no
-    Python in the parse path."""
+    Python in the parse path.
+
+    Parity notes (ADVICE r2): a doc with a null/missing keywords array
+    yields an EMPTY list, matching the reference's list-comprehension
+    over keywords. Documented difference: an article whose headline is
+    {'main': null} is dropped here, where the reference's is_valid only
+    checks key presence and would keep it with a None headline — the
+    null-main filter is the useful behavior for a headline frame."""
     doc = F.explode(
         F.from_json(F.col(raw_col), NYT_ARCHIVE_RESPONSE_SCHEMA)["response"]["docs"]
     ).alias("doc")
@@ -438,9 +474,11 @@ def parse_nyt_archive(responses: DataFrame, raw_col: str = "raw") -> DataFrame:
         F.col("type_of_material").alias("material_type"),
         F.col("section_name").alias("section"),
         F.col("subsection_name").alias("subsection"),
-        F.filter(F.col("keywords"), lambda k: k["name"] == F.lit("subject"))
-        .getField("value")
-        .alias("keywords"),
+        F.coalesce(
+            F.filter(F.col("keywords"), lambda k: k["name"] == F.lit("subject"))
+            .getField("value"),
+            F.array().cast("array<string>"),
+        ).alias("keywords"),
         F.col("web_url").alias("url"),
         F.col("byline")["original"].alias("byline"),
     )

@@ -36,6 +36,72 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert not any("d5" in p for p in got)
 
 
+def test_simhash_matches_python_oracle(spark):
+    """Sequential Python oracle for the simhash AGGREGATION: token hashes
+    come from Spark's xxhash64 (the pinned hash primitive), the bit-vote
+    sum + sign → bit assembly is re-implemented row-at-a-time in Python
+    and must match dedup.simhash exactly (VERDICT r2 task 6)."""
+    from collections import defaultdict
+
+    docs = _docs(spark).filter("text != ''")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(dedup.normalize_text(F.col("text")), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = defaultdict(lambda: [0] * 64)
+    for r in toks.collect():
+        h = r["h"] & 0xFFFFFFFFFFFFFFFF  # two's-complement bit view
+        for i in range(64):
+            votes[r["doc_id"]][i] += 1 if (h >> i) & 1 else -1
+    expect = {}
+    for d, v in votes.items():
+        sig = sum(1 << i for i in range(64) if v[i] > 0)
+        expect[d] = sig - (1 << 64) if sig >= (1 << 63) else sig  # signed long
+    got = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert got == expect
+
+
+def test_minhash_candidates_recall_property(spark):
+    """Recall/superset property (VERDICT r2 task 6): every pair whose TRUE
+    shingle-set Jaccard is ≥ 0.85 must appear in the LSH candidates at
+    bands=16 × rows=2 (band threshold ≈ 0.25; a J≥0.85 pair misses all
+    bands with probability (1-J²)^16 ≈ 1e-10 — and the hash family is
+    deterministic, so this is a fixed property of the fixture)."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(50)]
+    docs_rows = []
+    for i in range(12):
+        b = [rng.choice(words) for _ in range(30)]
+        docs_rows.append((f"b{i}", " ".join(b)))
+        near = list(b)
+        near[rng.randrange(len(near))] = rng.choice(words)
+        docs_rows.append((f"n{i}", " ".join(near)))
+    docs = spark.createDataFrame(docs_rows, "doc_id string, text string")
+    sig = dedup.minhash_signatures(docs, num_hashes=32, shingle_n=2)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(sig, bands=16, rows_per_band=2).collect()
+    }
+
+    def sh(text):
+        t = text.split()
+        return {" ".join(t[j : j + 2]) for j in range(len(t) - 1)}
+
+    shings = dict((d, sh(t)) for d, t in docs_rows)
+    ids = sorted(shings)
+    must = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if len(shings[a] & shings[b]) / len(shings[a] | shings[b]) >= 0.85
+    ]
+    assert must, "fixture must contain high-jaccard pairs"
+    missing = [p for p in must if p not in got]
+    assert not missing, missing
+
+
 def test_ngram_jaccard(spark):
     docs = _docs(spark)
     pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.7)

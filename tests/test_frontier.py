@@ -416,6 +416,35 @@ def test_apply_robots(spark):
     assert out["https://a.com/priv"] is False
 
 
+def test_apply_robots_allow_overrides(spark):
+    """REP longest-match: a longer Allow beats a shorter Disallow; a
+    longer Disallow beats a shorter Allow; on equal length the Allow wins
+    (RFC 9309 §2.2.2 least-restrictive tie-break)."""
+    rows = [
+        ("https://a.com/private/pub/x", 5, 0),   # allow /private/pub/ wins
+        ("https://a.com/private/other", 5, 1),   # disallow /private/ wins
+        ("https://a.com/tie", 5, 2),             # /tie in both → allow wins
+        ("https://a.com/open", 5, 3),            # no rule matches
+    ]
+    cands = frontier.canonicalize_candidates(
+        spark.createDataFrame(rows, "url string, priority int, seq long")
+        .withColumn("generation", F.lit(0))
+        .withColumn("sub", F.lit(0).cast("long"))
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ["/private/", "/tie"], ["/private/pub/", "/tie"])],
+        "host string, disallow array<string>, allow array<string>",
+    )
+    out = {
+        r["url"]: r["robots_blocked"]
+        for r in frontier.apply_robots(cands, robots).collect()
+    }
+    assert out["https://a.com/private/pub/x"] is False
+    assert out["https://a.com/private/other"] is True
+    assert out["https://a.com/tie"] is False
+    assert out["https://a.com/open"] is False
+
+
 def test_robots_block_is_sticky_across_generations(spark):
     docs = fixtures.synthetic_documents(spark, 200, n_hosts=10, seed=21).persist()
     seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq")).limit(40)
@@ -447,6 +476,50 @@ def test_robots_block_is_sticky_across_generations(spark):
             .count()
             == 0
         )
+
+
+def test_robots_head_refill_matches_full_pending_oracle(spark):
+    """A robots rule introduced mid-crawl blocks an entire host's head:
+    every generation's scheduled set must still equal the full-pending
+    oracle (top-B non-blocked pending rows in crawl order). The
+    run_generation head-refill (robots × head_cache fix) is what makes
+    this hold — without it, the blocked head rows drain the host's head
+    below B and the host under-schedules until the next compaction
+    refill, even though its pending set has plenty of schedulable rows."""
+    docs = fixtures.synthetic_documents(spark, 10, n_hosts=3, seed=7)
+    rows = [(f"https://x.com/a/{i}", 1, i) for i in range(100)] + [
+        (f"https://x.com/b/{i}", 1, 100 + i) for i in range(100)
+    ]
+    seeds = spark.createDataFrame(rows, "url string, priority int, seq long")
+    robots = spark.createDataFrame(
+        [("x.com", ["/a"])], "host string, disallow array<string>"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        store = SnapshotStore(d)
+        out1 = frontier.run_generations(
+            spark, store, docs, seeds, n_generations=1, budget_per_host=4,
+            compact_every=4, use_bloom=False,
+        )
+        assert out1[1]["scheduled"] == 4
+        # robots appear at generation 2 — the whole remaining head
+        # (16 /a rows, head_cap=20 minus 4 scheduled) is now blocked
+        out2 = frontier.run_generations(
+            spark, store, docs, None, n_generations=3,
+            start_generation=1, budget_per_host=4, compact_every=4,
+            use_bloom=False, robots=robots,
+        )
+        assert out2[0]["blocked"] > 0
+        assert [o["scheduled"] for o in out2] == [4, 4, 4]
+        done = store.read(spark, "frontier").filter(F.col("status") == "done")
+        got1 = sorted(r["url"] for r in done.filter("sched_gen = 1").collect())
+        assert got1 == sorted(f"https://x.com/a/{i}" for i in range(4))
+        # gens 2-4 (gen 4 is a compaction generation — the full-rank
+        # path must agree): oracle top-4 non-blocked pending rows are
+        # the next four /b rows each generation
+        for g, lo in ((2, 0), (3, 4), (4, 8)):
+            got = sorted(r["url"] for r in done.filter(f"sched_gen = {g}").collect())
+            want = sorted(f"https://x.com/b/{i}" for i in range(lo, lo + 4))
+            assert got == want, (g, got, want)
 
 
 def test_per_host_crawl_delay(spark):
