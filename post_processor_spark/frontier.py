@@ -475,6 +475,7 @@ def schedule_seed_list(
     bloom: DataFrame | None = None,
     skew_threshold: int | None = None,
     exact_join: str = "broadcast_fused",
+    exact_index: DataFrame | None = None,
 ) -> DataFrame:
     """One-exchange scheduling of a fresh seed list against an existing
     seen set — the bench-headline composition, and the fast path for
@@ -488,8 +489,11 @@ def schedule_seed_list(
     exact_join='broadcast_fused' requires the seen side to fit a
     broadcast; 'shuffle_hash' resolves the maybe-seen subset with a
     parallel shuffle-hash anti-join instead (no serial broadcast build —
-    see seen.filter_unseen); at a 10^10-row seen set use the generation
-    loop's branch path + bucketed layout instead. Result rows are
+    see seen.filter_unseen); 'prebuilt' takes the incrementally
+    maintained sorted-shard exact index (seen.build_exact_index) and
+    resolves bloom + exact membership in one narrow pandas UDF — no
+    join operator, no per-pass hash-relation build; at a 10^10-row seen
+    set use the generation loop's branch path + bucketed layout instead. Result rows are
     persisted (the politeness census + both skew branches consume them);
     callers own unpersist/clearCache."""
     from .seen import filter_unseen as _filter_unseen
@@ -500,7 +504,8 @@ def schedule_seed_list(
     # per-row byte cost of this pass; politeness re-encodes idempotently)
     cand = _slim_encode(seed_candidates(seeds))
     unseen = _filter_unseen(
-        cand, seen, use_bloom=True, bloom=bloom, exact_join=exact_join
+        cand, seen, use_bloom=True, bloom=bloom, exact_join=exact_join,
+        exact_index=exact_index,
     ).persist()
     return politeness_schedule(
         unseen,

@@ -94,6 +94,63 @@ _BLOOM_SCHEMA = T.StructType(
 )
 
 
+_EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("keys", T.BinaryType()),
+    ]
+)
+
+
+def build_exact_index(seen: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """seen(url_hash, ...) → (bucket, keys binary): sorted DISTINCT
+    int64 url_hash shards, bucketed by the same uniform url-hash-high-bits
+    rule as the bloom.
+
+    This is the EXACT membership structure of the seen set in a compact,
+    broadcastable form (8 bytes/key — a 4M-key seen side is 32 MB,
+    vs a driver-built JVM hash relation for the same keys). Like the
+    bloom it is STATE: built distributed (applyInPandas per bucket),
+    maintained incrementally via merge_exact_index over per-generation
+    deltas, never rebuilt from the full seen table per pass. Membership
+    is np.searchsorted — vectorized binary search, no per-pass serial
+    hash-relation build (the Amdahl section that capped N→4N scaling of
+    the broadcast_fused pass). At 10^10 keys (80 GB) the index no longer
+    broadcasts — use the branch path + bucketed seen layout instead;
+    the bucket column means the same shards also serve a cogrouped
+    executor-side lookup without re-sharding."""
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(pdf["url_hash"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "keys": [keys.tobytes()]}
+        )
+
+    return (
+        seen.withColumn("bucket", _bucket_col(n_buckets))
+        .select("bucket", "url_hash")
+        .groupBy("bucket")
+        .applyInPandas(agg, schema=_EXACT_SCHEMA)
+    )
+
+
+def merge_exact_index(deltas: DataFrame) -> DataFrame:
+    """Union-merge per-generation sorted-shard deltas into one sorted
+    distinct shard per bucket (the exact-index analog of merge_bloom)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(
+            np.concatenate(
+                [np.frombuffer(b, dtype=np.int64) for b in pdf["keys"]]
+            )
+        )
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "keys": [keys.tobytes()]}
+        )
+
+    return deltas.groupBy("bucket").applyInPandas(merge, schema=_EXACT_SCHEMA)
+
+
 def merge_bloom(deltas: DataFrame) -> DataFrame:
     """OR-merge per-generation delta bitmaps into one bitmap per bucket.
 
@@ -114,6 +171,17 @@ def merge_bloom(deltas: DataFrame) -> DataFrame:
     return deltas.groupBy("bucket").applyInPandas(or_reduce, schema=_BLOOM_SCHEMA)
 
 
+def _bucket_np(url_hash: np.ndarray, n_buckets: int) -> np.ndarray:
+    """numpy twin of _bucket_col: uniform bucket from url_hash's high 32
+    bits. Computing it INSIDE the pandas UDF from the hash it already
+    receives keeps the derived column out of the Arrow exchange
+    (8 bytes/row on a 20M-row pass is ~160 MB of transfer for a value
+    that's one shift+mod away)."""
+    return ((url_hash.view(np.uint64) >> np.uint64(32)) % np.uint64(n_buckets)).astype(
+        np.int64
+    )
+
+
 def _bloom_test(bitmaps: dict, url_hash: np.ndarray, bucket: np.ndarray, k: int, m: int) -> np.ndarray:
     hit = np.zeros(len(url_hash), dtype=bool)
     for b in np.unique(bucket):
@@ -128,6 +196,56 @@ def _bloom_test(bitmaps: dict, url_hash: np.ndarray, bucket: np.ndarray, k: int,
             h &= (bits[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
         hit[sel] = h
     return hit
+
+
+def _exact_test(
+    index: dict, url_hash: np.ndarray, bucket: np.ndarray
+) -> np.ndarray:
+    """Vectorized exact membership against broadcast sorted shards."""
+    hit = np.zeros(len(url_hash), dtype=bool)
+    for b in np.unique(bucket):
+        arr = index.get(int(b))
+        if arr is None or len(arr) == 0:
+            continue
+        sel = bucket == b
+        v = url_hash[sel]
+        p = np.clip(np.searchsorted(arr, v), 0, len(arr) - 1)
+        hit[sel] = arr[p] == v
+    return hit
+
+
+def _unseen_udf(
+    spark, bloom: DataFrame, exact_index: DataFrame, n_buckets: int,
+    bits_per_bucket: int, k: int = 5,
+):
+    """Pandas UDF (url_hash, bucket) → unseen boolean: bloom pre-filter
+    then exact searchsorted resolution of the maybe subset, all inside
+    one Arrow batch — the 'prebuilt' strategy's entire seen filter."""
+    m = bits_per_bucket
+    bitmaps = {
+        int(r["bucket"]): np.frombuffer(r["bitmap"], dtype=np.uint8)
+        for r in bloom.collect()
+    }
+    index = {
+        int(r["bucket"]): np.frombuffer(r["keys"], dtype=np.int64)
+        for r in exact_index.collect()
+    }
+    bc_b = spark.sparkContext.broadcast(bitmaps)
+    bc_i = spark.sparkContext.broadcast(index)
+
+    @F.pandas_udf("boolean")
+    def is_unseen(url_hash: pd.Series) -> pd.Series:
+        if len(url_hash) == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        uh = url_hash.to_numpy(dtype=np.int64)
+        bk = _bucket_np(uh, n_buckets)
+        maybe = _bloom_test(bc_b.value, uh, bk, k, m)
+        seen_mask = np.zeros(len(uh), dtype=bool)
+        if maybe.any():
+            seen_mask[maybe] = _exact_test(bc_i.value, uh[maybe], bk[maybe])
+        return pd.Series(~seen_mask)
+
+    return is_unseen
 
 
 def bloom_filter_candidates(
@@ -164,20 +282,16 @@ def bloom_filter_candidates(
         bc = spark.sparkContext.broadcast(bitmaps)
 
         @F.pandas_udf("boolean")
-        def might_contain(url_hash: pd.Series, bucket: pd.Series) -> pd.Series:
+        def might_contain(url_hash: pd.Series) -> pd.Series:
             if len(url_hash) == 0:
                 return pd.Series(np.zeros(0, dtype=bool))
+            uh = url_hash.to_numpy(dtype=np.int64)
             return pd.Series(
-                _bloom_test(
-                    bc.value,
-                    url_hash.to_numpy(dtype=np.int64),
-                    bucket.to_numpy(dtype=np.int64),
-                    k, m,
-                )
+                _bloom_test(bc.value, uh, _bucket_np(uh, n_buckets), k, m)
             )
 
         return candidates.withColumn(
-            "maybe_seen", might_contain(F.col("url_hash"), bucket_col)
+            "maybe_seen", might_contain(F.col("url_hash"))
         )
 
     # cogroup path: only (url_hash, bucket) enters Python
@@ -228,6 +342,7 @@ def filter_unseen(
     materialize: bool = False,
     bloom: DataFrame | None = None,
     exact_join: str = "branch",
+    exact_index: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of `candidates` whose url_hash is not in `seen`.
 
@@ -253,6 +368,16 @@ def filter_unseen(
     the worst possible skew — and the expression key would defeat the
     bucketed layout's exchange-free scan. Used by the seed-list fast
     path (frontier.schedule_seed_list).
+    exact_join='prebuilt': bloom test AND exact resolution in ONE narrow
+    pandas UDF — the exact side is the incrementally-maintained sorted
+    int64 shard index (build_exact_index / merge_exact_index), broadcast
+    as compact numpy arrays; membership is vectorized np.searchsorted on
+    the bloom-maybe subset only. NO join operator and NO per-pass serial
+    hash-relation build — the whole seen filter is a narrow map, so the
+    pass's only non-parallel cost is the bitmap+index collect/broadcast
+    (~40 MB at a 4M-key seen side). Valid while the index fits executor
+    memory (same envelope as broadcast_fused); at 10^10 keys use the
+    branch path + bucketed layout.
     exact_join='shuffle_hash': the branch plan with a shuffle-hash hint
     on the seen side of the maybe-resolve join — no serial broadcast
     relation build (the broadcast build is a fixed Amdahl section that
@@ -269,10 +394,10 @@ def filter_unseen(
     # NOTE: no .distinct() on the seen side — left_anti semantics ignore
     # duplicate matches, and a distinct would shuffle the full seen table
     # (10^10 rows at target scale) before every generation's join.
-    if exact_join not in ("branch", "broadcast_fused", "shuffle_hash"):
+    if exact_join not in ("branch", "broadcast_fused", "shuffle_hash", "prebuilt"):
         raise ValueError(
-            "exact_join must be 'branch', 'broadcast_fused' or"
-            f" 'shuffle_hash', got {exact_join!r}"
+            "exact_join must be 'branch', 'broadcast_fused', 'shuffle_hash'"
+            f" or 'prebuilt', got {exact_join!r}"
         )
     if not use_bloom:
         out = candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
@@ -282,6 +407,19 @@ def filter_unseen(
         return out
     if bloom is None:
         bloom = build_bloom(seen, n_buckets, bits_per_bucket)
+    if exact_join == "prebuilt":
+        if exact_index is None:
+            exact_index = build_exact_index(seen, n_buckets)
+        out = candidates.filter(
+            _unseen_udf(
+                candidates.sparkSession, bloom, exact_index, n_buckets,
+                bits_per_bucket,
+            )(F.col("url_hash"))
+        )
+        if materialize:
+            out = out.persist()
+            out.materialized_count = out.count()
+        return out
     if exact_join == "broadcast_fused":
         tagged = bloom_filter_candidates(
             candidates, bloom, n_buckets, bits_per_bucket, mode=mode

@@ -12,7 +12,21 @@ Runs the frontier-scheduling throughput job in fresh subprocess JVMs at
 both parallelism levels (warm-up pass + best-of-4 measured reps each)
 and writes BENCH/BASELINE.md.
 
-Usage: python scripts_spark/scaling_bench.py [n_urls] [n_rounds]
+Usage: python scripts_spark/scaling_bench.py [n_urls] [n_rounds] [lo] [hi]
+
+lo/hi: the parallelism pair (default 4 and 4*lo). The 2→8 pair probes
+N→4N further from the box's single-memory-controller saturation point
+than 4→16 (all 16 workers share one controller; a real cluster adds one
+per node). Rounds are logged with their pair; the rendered headline uses
+rounds at the CURRENT pair + input size only.
+
+Env: SCALING_MIN_BW_GBS — when set, each round first probes DRAM
+bandwidth at lo workers and SKIPS the round (sleep + retry, nothing
+logged) while the probe is below the threshold: on this multi-tenant box
+a <10 GB/s window makes any comparison meaningless (measured swings
+1.2–42 GB/s minute-to-minute), so measuring in one only wastes wall
+time. The gate never filters LOGGED data — it prevents known-invalid
+measurements from starting.
 """
 
 from __future__ import annotations
@@ -47,7 +61,17 @@ PER_CORE_GB = 4
 # v3 = seen set + bloom built OUTSIDE the timed region (pre-existing
 # state, maintained incrementally by the generation loop; the pass
 # still pays the bitmap collect+broadcast and exact-side broadcast).
-WORKLOAD = "v3"
+# v4 = exact seen side carried as the incrementally-maintained
+# sorted-shard index (seen.build_exact_index, BENCH_EXACT_JOIN=prebuilt,
+# the bench default): same input -> same scheduled set as v3, but the
+# pass pays the index collect+broadcast instead of a per-pass broadcast
+# hash-relation build. Join-strategy rounds (BENCH_EXACT_JOIN set to a
+# join mode) keep the v3 tag for comparability with the v3 history.
+WORKLOAD = (
+    "v4"
+    if os.environ.get("BENCH_EXACT_JOIN", "prebuilt") == "prebuilt"
+    else "v3"
+)
 
 RUNNER = r"""
 import json, sys, time
@@ -118,26 +142,26 @@ def run_at(cores: int, n_urls: int) -> dict:
     return json.loads(lines[-1])
 
 
-def compare_once(n_urls: int) -> dict:
+def compare_once(n_urls: int, n_lo: int = N_LO, n_hi: int = N_HI) -> dict:
     """One full comparison: fresh JVMs at both parallelism levels,
     back-to-back. Hardware ceilings are calibrated ADJACENT to each
     level's Spark run (immediately before it, at that level's worker
     count): host noise shifts minute-to-minute, so a single calibration
     taken once per comparison can describe a different window than the
     Spark run it is meant to normalize."""
-    raw_lo = raw_cpu_rate(N_LO)
-    bw_lo = raw_bw_rate(N_LO)
-    lo = run_at(N_LO, n_urls)
-    raw_hi = raw_cpu_rate(N_HI)
-    bw_hi = raw_bw_rate(N_HI)
-    hi = run_at(N_HI, n_urls)
+    raw_lo = raw_cpu_rate(n_lo)
+    bw_lo = raw_bw_rate(n_lo)
+    lo = run_at(n_lo, n_urls)
+    raw_hi = raw_cpu_rate(n_hi)
+    bw_hi = raw_bw_rate(n_hi)
+    hi = run_at(n_hi, n_urls)
     return {
         "raw_lo": raw_lo, "raw_hi": raw_hi,
-        "raw_eff": (raw_hi / raw_lo) / (N_HI / N_LO),
+        "raw_eff": (raw_hi / raw_lo) / (n_hi / n_lo),
         "bw_lo": bw_lo, "bw_hi": bw_hi,
-        "bw_eff": (bw_hi / bw_lo) / (N_HI / N_LO),
+        "bw_eff": (bw_hi / bw_lo) / (n_hi / n_lo),
         "lo": lo, "hi": hi,
-        "eff": (hi["rate"] / lo["rate"]) / (N_HI / N_LO),
+        "eff": (hi["rate"] / lo["rate"]) / (n_hi / n_lo),
     }
 
 
@@ -181,8 +205,13 @@ def _round_norm(r: dict) -> float | None:
 
 
 def main() -> None:
+    global N_LO, N_HI
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    if len(sys.argv) > 3:
+        N_LO = int(sys.argv[3])
+        N_HI = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * N_LO
+    min_bw = float(os.environ.get("SCALING_MIN_BW_GBS", "0"))
     # This sandbox VM's deliverable performance varies heavily run-to-run
     # (the pure-CPU calibration alone has been observed anywhere between
     # 0.76 and 0.94 on the same pair): host noise only ever SUBTRACTS, so
@@ -198,8 +227,16 @@ def main() -> None:
     # n_rounds=0: render BENCH/BASELINE.md from the existing log only
     new_rounds = []
     for _ in range(n_rounds):
-        r = compare_once(n_urls)
+        while min_bw > 0:
+            probe = raw_bw_rate(N_LO)
+            if probe >= min_bw:
+                break
+            print(f"window degraded (bw {probe:.1f} < {min_bw} GB/s) — "
+                  "sleeping 120s", file=sys.stderr)
+            time.sleep(120)
+        r = compare_once(n_urls, N_LO, N_HI)
         r["rev"] = rev
+        r["pair"] = [N_LO, N_HI]
         r["workload"] = WORKLOAD
         r["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
         r["n_urls"] = n_urls
@@ -216,6 +253,7 @@ def main() -> None:
     rounds = [
         r for r in all_runs
         if r.get("n_urls") == n_urls and r.get("workload", "v1") == WORKLOAD
+        and r.get("pair", [4, 16]) == [N_LO, N_HI]
     ]
     if not rounds:
         print(
@@ -243,7 +281,9 @@ def main() -> None:
         return f"{n:.2f}" if n is not None else "—"
 
     run_rows = "\n".join(
-        f"| {r.get('ts', '?')} | {r.get('rev', '?')} ({r.get('workload', 'v1')}) | {r.get('n_urls', 0) / 1e6:.0f}M | "
+        f"| {r.get('ts', '?')} | {r.get('rev', '?')} ({r.get('workload', 'v1')}"
+        f"{', ' + 'x'.join(map(str, r['pair'])) if r.get('pair', [4, 16]) != [4, 16] else ''}) | "
+        f"{r.get('n_urls', 0) / 1e6:.0f}M | "
         f"{r['lo']['rate']:,.0f} | "
         f"{r['hi']['rate']:,.0f} | {r['eff']:.3f} | {r['raw_eff']:.2f} | "
         f"{r['bw_eff']:.2f} | {_norm_cell(r)} |"

@@ -28,6 +28,82 @@ def test_bloom_matches_exact(spark):
     assert len(a) == cands.filter(F.col("seq") % 2 == 1).count()
 
 
+def test_prebuilt_index_matches_exact(spark):
+    """The 'prebuilt' strategy (bloom + sorted-shard searchsorted in one
+    narrow UDF) must select exactly the rows of the plain exact
+    anti-join — bloom false positives resolved, no row lost."""
+    cands = frontier.canonicalize_candidates(
+        fixtures.synthetic_seed_frontier(spark, 3000, n_hosts=40, seed=7)
+        .withColumn("generation", F.lit(0))
+        .withColumn("sub", F.lit(0).cast("long"))
+    ).persist()
+    seen_tbl = cands.filter(F.col("seq") % 3 == 0).select(
+        "url_hash", "host_hash", F.lit(0).alias("generation")
+    )
+    exact = seen_mod.filter_unseen(cands, seen_tbl, use_bloom=False)
+    pre = seen_mod.filter_unseen(
+        cands, seen_tbl, use_bloom=True, n_buckets=8, exact_join="prebuilt"
+    )
+    a = sorted(r["url_hash"] for r in exact.select("url_hash").collect())
+    b = sorted(r["url_hash"] for r in pre.select("url_hash").collect())
+    assert a == b
+    cands.unpersist()
+
+
+def test_merge_exact_index_unions_deltas(spark):
+    """Per-generation sorted-shard deltas, union-merged, must be
+    byte-identical to an index built over the full seen table."""
+    cands = frontier.canonicalize_candidates(
+        fixtures.synthetic_seed_frontier(spark, 2000, n_hosts=20, seed=3)
+        .withColumn("generation", F.lit(0))
+        .withColumn("sub", F.lit(0).cast("long"))
+    ).persist()
+    a = cands.filter(F.col("seq") % 2 == 0).select("url_hash")
+    b = cands.filter(F.col("seq") % 2 == 1).select("url_hash")
+    deltas = seen_mod.build_exact_index(a, n_buckets=8).unionByName(
+        seen_mod.build_exact_index(b, n_buckets=8)
+    )
+    merged = {
+        r["bucket"]: r["keys"]
+        for r in seen_mod.merge_exact_index(deltas).collect()
+    }
+    full = {
+        r["bucket"]: r["keys"]
+        for r in seen_mod.build_exact_index(
+            cands.select("url_hash"), n_buckets=8
+        ).collect()
+    }
+    assert merged == full
+    cands.unpersist()
+
+
+def test_schedule_seed_list_prebuilt_matches_branch(spark):
+    """schedule_seed_list output is strategy-invariant: the prebuilt
+    narrow-UDF seen filter must schedule the identical set (url_hash,
+    status, not_before) as the branch-path join strategies."""
+    seeds = fixtures.synthetic_seed_frontier(spark, 4000, n_hosts=30, seed=11)
+    seen_tbl = frontier.canonicalize_candidates(
+        fixtures.synthetic_seed_frontier(spark, 4000, n_hosts=30, seed=11)
+        .withColumn("generation", F.lit(0))
+        .withColumn("sub", F.lit(0).cast("long"))
+    ).filter(F.col("seq") % 5 == 0).select(
+        "url_hash", "host_hash", F.lit(0).alias("generation")
+    ).persist()
+    outs = {}
+    for strat in ("broadcast_fused", "prebuilt"):
+        out = frontier.schedule_seed_list(
+            seeds, seen_tbl, generation=1, budget_per_host=4, salt_parts=4,
+            exact_join=strat,
+        )
+        outs[strat] = sorted(
+            (r["url_hash"], r["status"], str(r["not_before"]))
+            for r in out.select("url_hash", "status", "not_before").collect()
+        )
+        spark.catalog.clearCache()
+    assert outs["broadcast_fused"] == outs["prebuilt"]
+    seen_tbl.unpersist()
+
+
 def test_merge_bloom_or_reduces_deltas(spark):
     """OR-merging per-generation delta bitmaps must equal a bloom built
     over the union of keys (associativity of the incremental design)."""
