@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import canon
-from .seen import build_bloom, filter_unseen, merge_bloom
+from .seen import (
+    build_bloom, build_exact_index, filter_unseen, merge_bloom,
+    merge_exact_index,
+)
 from .state import SnapshotStore
 
 # fixed, documented epoch for deterministic not_before timestamps
@@ -569,6 +572,7 @@ def run_generation(
     compact_every: int = 8,
     robots: DataFrame | None = None,
     head_cache: bool = True,
+    exact_join: str = "branch",
 ) -> dict:
     """One frontier generation: robots gate → schedule → fetch(sim) →
     expand → dedupe → seen-filter → delta commit. Returns driver-side
@@ -619,6 +623,22 @@ def run_generation(
     bloom_df = (
         merge_bloom(bloom_deltas) if (use_bloom and bloom_deltas is not None) else None
     )
+    # exact_join='prebuilt': the exact seen side is ALSO an incrementally
+    # maintained delta log — sorted int64 shards per bucket, union-merged
+    # at read, appended per generation (cost ∝ new keys). A store without
+    # the table (branch-path history, or bootstrap) gets a one-time
+    # backfill over seen∪new at commit; this generation's filter then
+    # builds from the seen table directly (same one-time O(|seen|) cost
+    # the bloom backfill pays).
+    idx_deltas = None
+    exact_idx_df = None
+    if exact_join == "prebuilt":
+        try:
+            idx_deltas = store.read(spark, "exact_index")
+        except FileNotFoundError:
+            idx_deltas = None
+        if idx_deltas is not None:
+            exact_idx_df = merge_exact_index(idx_deltas)
 
     is_compact = bool(compact_every) and generation % compact_every == 0
     use_head = head_cache and bool(compact_every)
@@ -762,7 +782,8 @@ def run_generation(
         .persist()
     )
     new_base = filter_unseen(
-        discovered, seen, use_bloom=use_bloom, materialize=True, bloom=bloom_df
+        discovered, seen, use_bloom=use_bloom, materialize=True, bloom=bloom_df,
+        exact_join=exact_join, exact_index=exact_idx_df,
     )
     new_rows = new_base.select(*FRONTIER_COLS)
     n_new = new_base.materialized_count
@@ -831,6 +852,20 @@ def run_generation(
     else:
         frontier_entry = ("frontier", delta, generation, "append")
         bloom_entry = ("bloom", bloom_delta, generation, "append")
+    idx_entry = None
+    if exact_join == "prebuilt":
+        if idx_deltas is None:
+            idx_delta = build_exact_index(
+                seen.select("url_hash").unionByName(new_keys)
+            )
+        else:
+            idx_delta = build_exact_index(new_keys)
+        if compact_every and generation % compact_every == 0:
+            if idx_deltas is not None:
+                idx_delta = merge_exact_index(idx_deltas.unionByName(idx_delta))
+            idx_entry = ("exact_index", idx_delta, generation, "compact")
+        else:
+            idx_entry = ("exact_index", idx_delta, generation, "append")
     # seen deltas follow the layout bootstrap chose (append dirs or the
     # bucketed external table — spec already pinned in the manifest)
     seen_mode = store.table_mode("seen") or "append"
@@ -847,6 +882,8 @@ def run_generation(
         ("metrics", metrics, generation, "append"),
         bloom_entry,
     ]
+    if idx_entry is not None:
+        writes.append(idx_entry)
     if use_head:
         # head' = top-K·B per host of (this generation's unscheduled
         # input ∪ new discoveries). On a head generation the input was

@@ -27,7 +27,6 @@ Design:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -182,56 +181,36 @@ def _bucket_np(url_hash: np.ndarray, n_buckets: int) -> np.ndarray:
     )
 
 
-def _bloom_test(bitmaps: dict, url_hash: np.ndarray, bucket: np.ndarray, k: int, m: int) -> np.ndarray:
-    hit = np.zeros(len(url_hash), dtype=bool)
-    for b in np.unique(bucket):
-        bits = bitmaps.get(int(b))
-        if bits is None:
-            continue
-        sel = bucket == b
-        pos = _positions(url_hash[sel].view(np.uint64), k, m)
-        h = np.ones(int(sel.sum()), dtype=bool)
-        for i in range(k):
-            p = pos[i]
-            h &= (bits[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
-        hit[sel] = h
-    return hit
-
-
-def _exact_test(
-    index: dict, url_hash: np.ndarray, bucket: np.ndarray
-) -> np.ndarray:
-    """Vectorized exact membership against broadcast sorted shards."""
-    hit = np.zeros(len(url_hash), dtype=bool)
-    for b in np.unique(bucket):
-        arr = index.get(int(b))
-        if arr is None or len(arr) == 0:
-            continue
-        sel = bucket == b
-        v = url_hash[sel]
-        p = np.clip(np.searchsorted(arr, v), 0, len(arr) - 1)
-        hit[sel] = arr[p] == v
-    return hit
-
-
 def _unseen_udf(
     spark, bloom: DataFrame, exact_index: DataFrame, n_buckets: int,
     bits_per_bucket: int, k: int = 5,
 ):
-    """Pandas UDF (url_hash, bucket) → unseen boolean: bloom pre-filter
-    then exact searchsorted resolution of the maybe subset, all inside
-    one Arrow batch — the 'prebuilt' strategy's entire seen filter."""
+    """Pandas UDF (url_hash) → unseen boolean: bloom pre-filter then
+    exact searchsorted resolution of the maybe subset, all inside one
+    Arrow batch — the 'prebuilt' strategy's entire seen filter.
+
+    Both lookup structures are flattened at collect time so the per-batch
+    test is branch-free vectorized numpy — no per-bucket Python loop:
+    the bitmaps concatenate into one (n_buckets * m/8) byte array
+    (global bit address = bucket * m + pos, a pure gather), and the
+    exact shards union-merge into ONE globally sorted key array (the
+    bucket partitioning exists for distributed build/maintenance and the
+    10^10 cogroup path, not for the broadcast probe)."""
     m = bits_per_bucket
-    bitmaps = {
-        int(r["bucket"]): np.frombuffer(r["bitmap"], dtype=np.uint8)
-        for r in bloom.collect()
-    }
-    index = {
-        int(r["bucket"]): np.frombuffer(r["keys"], dtype=np.int64)
-        for r in exact_index.collect()
-    }
-    bc_b = spark.sparkContext.broadcast(bitmaps)
-    bc_i = spark.sparkContext.broadcast(index)
+    bits_flat = np.zeros(n_buckets * (m // 8), dtype=np.uint8)
+    for r in bloom.collect():
+        b = int(r["bucket"])
+        bits_flat[b * (m // 8):(b + 1) * (m // 8)] = np.frombuffer(
+            r["bitmap"], dtype=np.uint8
+        )
+    shards = [
+        np.frombuffer(r["keys"], dtype=np.int64) for r in exact_index.collect()
+    ]
+    keys_global = (
+        np.sort(np.concatenate(shards)) if shards else np.zeros(0, dtype=np.int64)
+    )
+    bc_b = spark.sparkContext.broadcast(bits_flat)
+    bc_i = spark.sparkContext.broadcast(keys_global)
 
     @F.pandas_udf("boolean")
     def is_unseen(url_hash: pd.Series) -> pd.Series:
@@ -239,10 +218,22 @@ def _unseen_udf(
             return pd.Series(np.zeros(0, dtype=bool))
         uh = url_hash.to_numpy(dtype=np.int64)
         bk = _bucket_np(uh, n_buckets)
-        maybe = _bloom_test(bc_b.value, uh, bk, k, m)
+        bits = bc_b.value
+        base = bk * (m // 8)
+        pos = _positions(uh.view(np.uint64), k, m)
+        maybe = np.ones(len(uh), dtype=bool)
+        for i in range(k):
+            p = pos[i]
+            maybe &= (
+                bits[base + (p >> 3)] & (np.uint8(1) << (p & 7).astype(np.uint8))
+            ) != 0
         seen_mask = np.zeros(len(uh), dtype=bool)
         if maybe.any():
-            seen_mask[maybe] = _exact_test(bc_i.value, uh[maybe], bk[maybe])
+            keys = bc_i.value
+            if len(keys):
+                v = uh[maybe]
+                p = np.clip(np.searchsorted(keys, v), 0, len(keys) - 1)
+                seen_mask[maybe] = keys[p] == v
         return pd.Series(~seen_mask)
 
     return is_unseen
@@ -275,20 +266,32 @@ def bloom_filter_candidates(
 
     if mode == "broadcast":
         spark = candidates.sparkSession
-        bitmaps = {
-            int(r["bucket"]): np.frombuffer(r["bitmap"], dtype=np.uint8)
-            for r in bloom.collect()
-        }
-        bc = spark.sparkContext.broadcast(bitmaps)
+        # flat concatenated bitmaps: branch-free vectorized probe (global
+        # bit address = bucket * m + pos), no per-bucket Python loop
+        bits_flat = np.zeros(n_buckets * (m // 8), dtype=np.uint8)
+        for r in bloom.collect():
+            b = int(r["bucket"])
+            bits_flat[b * (m // 8):(b + 1) * (m // 8)] = np.frombuffer(
+                r["bitmap"], dtype=np.uint8
+            )
+        bc = spark.sparkContext.broadcast(bits_flat)
 
         @F.pandas_udf("boolean")
         def might_contain(url_hash: pd.Series) -> pd.Series:
             if len(url_hash) == 0:
                 return pd.Series(np.zeros(0, dtype=bool))
             uh = url_hash.to_numpy(dtype=np.int64)
-            return pd.Series(
-                _bloom_test(bc.value, uh, _bucket_np(uh, n_buckets), k, m)
-            )
+            base = _bucket_np(uh, n_buckets) * (m // 8)
+            pos = _positions(uh.view(np.uint64), k, m)
+            bits = bc.value
+            hit = np.ones(len(uh), dtype=bool)
+            for i in range(k):
+                p = pos[i]
+                hit &= (
+                    bits[base + (p >> 3)]
+                    & (np.uint8(1) << (p & 7).astype(np.uint8))
+                ) != 0
+            return pd.Series(hit)
 
         return candidates.withColumn(
             "maybe_seen", might_contain(F.col("url_hash"))

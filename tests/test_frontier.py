@@ -368,6 +368,53 @@ def test_generations_and_resume(spark):
 
 
 @pytest.mark.slow
+def test_generation_loop_prebuilt_matches_branch(spark):
+    """run_generation with exact_join='prebuilt' must produce the same
+    per-generation scheduled/new counts and pending view as the branch
+    path, AND the store's merged exact-index delta log must equal a full
+    rebuild from the seen table (incremental maintenance is lossless)."""
+    docs = fixtures.synthetic_documents(spark, 400, n_hosts=20, seed=13).persist()
+    seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq")).limit(50)
+
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        s_branch = SnapshotStore(d1)
+        branch = frontier.run_generations(
+            spark, s_branch, docs, seeds, n_generations=4, budget_per_host=4,
+            compact_every=2,
+        )
+        s_pre = SnapshotStore(d2)
+        pre = frontier.run_generations(
+            spark, s_pre, docs, seeds, n_generations=4, budget_per_host=4,
+            compact_every=2, exact_join="prebuilt",
+        )
+        assert [g.get("scheduled") for g in branch] == [
+            g.get("scheduled") for g in pre
+        ]
+        assert [g.get("new") for g in branch if "new" in g] == [
+            g.get("new") for g in pre if "new" in g
+        ]
+        pv_a = frontier.pending_view(spark, s_branch).select("url_hash")
+        pv_b = frontier.pending_view(spark, s_pre).select("url_hash")
+        assert pv_a.subtract(pv_b).count() == 0
+        assert pv_b.subtract(pv_a).count() == 0
+
+        merged = {
+            r["bucket"]: r["keys"]
+            for r in seen_mod.merge_exact_index(
+                s_pre.read(spark, "exact_index")
+            ).collect()
+        }
+        full = {
+            r["bucket"]: r["keys"]
+            for r in seen_mod.build_exact_index(
+                s_pre.read(spark, "seen")
+            ).collect()
+        }
+        assert merged == full
+    docs.unpersist()
+
+
+@pytest.mark.slow
 def test_compaction_preserves_state_and_resume(spark):
     """Delta-log frontier with compaction must be indistinguishable from
     the pure append log: same scheduled sets, same pending view, and a
