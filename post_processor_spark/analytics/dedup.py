@@ -56,14 +56,20 @@ def hashed_shingles(
     F.get (0-indexed, null-safe under ANSI) pads trailing short grams
     with nulls, which multi-arg xxhash64 skips — a doc shorter than n
     words still yields one shingle, like shingles() does."""
+    grams = _gram_hashes(text_col, n)
+    return docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("_h"))
+
+
+def _gram_hashes(text_col: str, n: int):
+    """array<long> of distinct word-n-gram hashes for one document row
+    (see hashed_shingles for the hashing contract)."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    grams = F.array_distinct(
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.xxhash64(*[F.get(toks, i + j) for j in range(n)]),
         )
     )
-    return docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("_h"))
 
 
 def minhash_signatures(
@@ -74,13 +80,19 @@ def minhash_signatures(
     family.
 
     Each shingle is hashed exactly once, straight from its tokens
-    (hashed_shingles — no gram string built); the i-th family member is
+    (_gram_hashes — no gram string built); the i-th family member is
     xxhash64 over that 8-byte long + the seed — constant-time re-mixing
-    instead of num_hashes full string scans per shingle row (the string
+    instead of num_hashes full string scans per shingle (the string
     hashing was the dominant CPU of the whole candidate pipeline: ~32
-    O(len) scans per shingle). One explode + one groupBy with num_hashes
-    min() partial aggregates — map-side combine keeps the shuffle at
-    |docs| rows."""
+    O(len) scans per shingle).
+
+    One explode + one groupBy with num_hashes min() partial aggregates —
+    map-side combine keeps the shuffle at |docs| rows, and the min aggs
+    stay inside whole-stage codegen. A zero-shuffle per-row variant
+    (higher-order aggregate with a zip_with running min) was measured
+    ~6x SLOWER end-to-end at sf0.1: lambda functions are interpreted
+    per element, while this explode/agg pipeline is codegen'd — the
+    shuffle it saves is |docs| rows of 32 longs, which is noise."""
     sh = hashed_shingles(docs, text_col, id_col, shingle_n)
     aggs = [
         F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"h{i}")
