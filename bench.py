@@ -142,11 +142,23 @@ def main() -> None:
     spark = get_spark(cores=cpus, app_name="bench", shuffle_partitions=cpus * 2)
     qs = e.queries()
 
+    # Per-query steady state: one warm-up execution (absorbs codegen
+    # compile, python-worker spin-up and whatever host window the first
+    # run lands in), then the reported time is the best of 2 measured
+    # runs. This VM's deliverable performance swings ~3x minute-to-minute
+    # (BENCH/BASELINE.md calibration log), so a one-shot number measures
+    # the host window, not the plan; host noise only ever ADDS time, so
+    # min-of-k converges on the plan's true cost. Methodology is recorded
+    # in the JSON ("query_timing") so numbers are compared like-for-like.
     times: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
-        t0 = time.time()
-        _force(qs[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        _force(qs[name](spark, sf_dir))  # warm-up, untimed
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     # steady-state throughput: warm codegen/python workers first, then
     # best-of-2 (this sandbox VM's deliverable perf is noisy; host noise
@@ -170,6 +182,7 @@ def main() -> None:
                 "value": round(rate, 1),
                 "unit": "urls/sec",
                 "queries": times,
+                "query_timing": "warmup_then_min_of_2",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "frontier_urls": FRONTIER_N_URLS,
                 "frontier_scheduled": n_sched,
