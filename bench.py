@@ -58,7 +58,55 @@ def _force(df) -> int:
     return 0
 
 
-def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
+def _persistent_rdd_entries(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().entrySet().toArray()
+
+
+def build_frontier_state(spark, n_urls: int) -> dict:
+    """The pass's PRE-EXISTING state (seen table + bloom + exact index),
+    persisted and materialized — everything frontier_throughput keeps
+    OUTSIDE its timed region. Split out so a caller running several
+    measured reps in one JVM (scripts_spark/scaling_bench.py) builds it
+    once instead of once per rep: the state is identical across reps
+    (deterministic seed) and rebuilding it only burns wall-clock that
+    could be buying more logged scaling rounds."""
+    from pyspark.sql import functions as F
+
+    from post_processor_spark import canon, fixtures
+    from post_processor_spark import seen as seen_mod
+
+    n_hosts = max(200, n_urls // 50)
+    seen_tbl = (
+        canon.with_canonical(
+            fixtures.synthetic_seed_frontier(
+                spark, n_urls, n_hosts=n_hosts, mega_host_share=0.3, seed=99
+            ).filter(F.col("seq") % 5 == 0)
+        )
+        .select("url_hash", "host_hash", F.lit(0).alias("generation"))
+        .persist()
+    )
+    bloom_df = seen_mod.build_bloom(seen_tbl).persist()
+    bloom_df.count()  # force state build (bitmaps stay executor-side)
+    exact_join = os.environ.get("BENCH_EXACT_JOIN", "prebuilt")
+    exact_idx = None
+    if exact_join == "prebuilt":
+        exact_idx = seen_mod.build_exact_index(seen_tbl).persist()
+        exact_idx.count()
+    seen_tbl.count()
+    return {
+        "n_urls": n_urls, "n_hosts": n_hosts, "seen_tbl": seen_tbl,
+        "bloom_df": bloom_df, "exact_idx": exact_idx, "exact_join": exact_join,
+    }
+
+
+def release_frontier_state(state: dict) -> None:
+    state["seen_tbl"].unpersist()
+    state["bloom_df"].unpersist()
+    if state["exact_idx"] is not None:
+        state["exact_idx"].unpersist()
+
+
+def frontier_throughput(spark, n_urls: int, state: dict | None = None) -> tuple[float, int]:
     """Scheduled URLs/sec for one full scheduling pass at n_urls seeds.
 
     Measured composition = frontier.schedule_seed_list: canonicalize →
@@ -80,55 +128,46 @@ def frontier_throughput(spark, n_urls: int) -> tuple[float, int]:
     in-batch dedupe, seen filter, and the politeness top-B."""
     from pyspark.sql import functions as F
 
-    from post_processor_spark import canon, fixtures, frontier
-    from post_processor_spark import seen as seen_mod
+    from post_processor_spark import fixtures, frontier
 
     # realistic web-shaped host diversity (~50 URLs/host) + one mega-host
     # at 30% of traffic so the salted two-phase top-B is actually exercised
-    n_hosts = max(200, n_urls // 50)
-    seeds = fixtures.synthetic_seed_frontier(
-        spark, n_urls, n_hosts=n_hosts, mega_host_share=0.3, seed=99
-    )
-    spark.catalog.clearCache()  # reps must not inherit prior caches
     # seen side (20% of the hash space pre-seen): independent narrow
     # lineage, matching the generation loop where `seen` is its own store
     # table. Duplicate urls are harmless on a bloom-build / left_anti
     # build side, so this lineage needs no dedupe shuffle; the narrow
     # projection is persisted because the bloom build and the exact
     # anti-join both consume it.
-    seen_tbl = (
-        canon.with_canonical(
-            fixtures.synthetic_seed_frontier(
-                spark, n_urls, n_hosts=n_hosts, mega_host_share=0.3, seed=99
-            ).filter(F.col("seq") % 5 == 0)
-        )
-        .select("url_hash", "host_hash", F.lit(0).alias("generation"))
-        .persist()
-    )
-    bloom_df = seen_mod.build_bloom(seen_tbl).persist()
-    bloom_df.count()  # force state build (bitmaps stay executor-side)
-    # exact membership index: sorted int64 shards, the same kind of
+    # The exact membership index is sorted int64 shards, the same kind of
     # incrementally-maintained state as the bloom (per-generation deltas
     # via merge_exact_index) — the pass pays its collect+broadcast
-    # (~32 MB here) inside the timed region, not its build
-    exact_join = os.environ.get("BENCH_EXACT_JOIN", "prebuilt")
-    exact_idx = None
-    if exact_join == "prebuilt":
-        exact_idx = seen_mod.build_exact_index(seen_tbl).persist()
-        exact_idx.count()
-    seen_tbl.count()
+    # (~32 MB here) inside the timed region, not its build.
+    own_state = state is None
+    if own_state:
+        spark.catalog.clearCache()  # one-shot mode: no inherited caches
+        state = build_frontier_state(spark, n_urls)
+    seeds = fixtures.synthetic_seed_frontier(
+        spark, n_urls, n_hosts=state["n_hosts"], mega_host_share=0.3, seed=99
+    )
+    # the pass's own persists (schedule_seed_list's unseen cache,
+    # politeness's skew-branch pre-rank) are released by a before/after
+    # diff of the persisted-RDD set — a blanket clearCache() would also
+    # evict the long-lived state a multi-rep caller is reusing
+    pre_ids = {e.getKey() for e in _persistent_rdd_entries(spark)}
     t0 = time.time()
     scheduled = frontier.schedule_seed_list(
-        seeds, seen_tbl, generation=1, budget_per_host=64, salt_parts=64,
-        bloom=bloom_df, exact_join=exact_join, exact_index=exact_idx,
+        seeds, state["seen_tbl"], generation=1, budget_per_host=64,
+        salt_parts=64, bloom=state["bloom_df"],
+        exact_join=state["exact_join"], exact_index=state["exact_idx"],
     ).filter(F.col("status") == "scheduled")
     n_scheduled = scheduled.count()
     dt = time.time() - t0
-    seen_tbl.unpersist()
-    bloom_df.unpersist()
-    if exact_idx is not None:
-        exact_idx.unpersist()
-    spark.catalog.clearCache()  # schedule_seed_list's internal persist
+    for e in _persistent_rdd_entries(spark):
+        if e.getKey() not in pre_ids:
+            e.getValue().unpersist()
+    if own_state:
+        release_frontier_state(state)
+        spark.catalog.clearCache()
     return n_scheduled / dt, n_scheduled
 
 

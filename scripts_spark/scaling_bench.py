@@ -77,14 +77,18 @@ RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, ".")
 from post_processor_spark.session import get_spark
-from bench import frontier_throughput
+from bench import frontier_throughput, build_frontier_state
 
 cores = int(sys.argv[1]); n_urls = int(sys.argv[2]); reps = int(sys.argv[3])
 spark = get_spark(cores=cores, app_name=f"scaling-{cores}", shuffle_partitions=cores*2)
 frontier_throughput(spark, 50000)   # warm-up: JVM, codegen, python workers
+# pre-existing state built ONCE per JVM (identical across reps —
+# deterministic seed); each rep still pays the full timed region
+# including the bitmap/index collect+broadcast
+state = build_frontier_state(spark, n_urls)
 best = {"rate": 0.0, "scheduled": 0}
 for _ in range(reps):
-    rate, n = frontier_throughput(spark, n_urls)
+    rate, n = frontier_throughput(spark, n_urls, state=state)
     if rate > best["rate"]:
         best = {"rate": rate, "scheduled": n}
 print(json.dumps({"cores": cores, **best}))
