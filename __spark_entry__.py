@@ -610,6 +610,30 @@ def _q_seen_filter(spark, sf):
     )
 
 
+def _q_seen_filter_prebuilt(spark, sf):
+    """U4 via the incrementally-maintained sorted-shard exact index
+    (seen.build_exact_index → one narrow pandas-UDF membership pass, the
+    v4 bench default) — ORACLE-CHECKED against the same plain anti-join
+    complement as q_seen_filter: bloom and index are lookup-structure
+    optimizations and must be invisible in the result."""
+    from post_processor_spark import seen as seen_mod
+    cands = frontier.canonicalize_candidates(
+        _frontier_seed_docs(spark, sf)
+        .withColumn("generation", F.lit(0))
+        .withColumn("sub", F.lit(0).cast("long"))
+    )
+    seen_tbl = cands.filter(F.col("seq") % 3 == 0).select(
+        "url_hash", "host_hash", F.lit(0).alias("generation")
+    )
+    return (
+        seen_mod.filter_unseen(
+            cands, seen_tbl, use_bloom=True, exact_join="prebuilt"
+        )
+        .select("url")
+        .orderBy("url")
+    )
+
+
 def _q_robots_gate(spark, sf):
     """Robots disallow gate (north_rule politeness) — ORACLE-CHECKED: the
     broadcast rules join + prefix match must equal the arithmetic rule
@@ -716,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frontier_schedule": _q_frontier_schedule,
         "q_head_topk": _q_head_topk,
         "q_seen_filter": _q_seen_filter,
+        "q_seen_filter_prebuilt": _q_seen_filter_prebuilt,
         "q_robots_gate": _q_robots_gate,
         # rows-only (non-SQL-expressible)
         "q_minhash_candidates": _q_minhash_candidates,
@@ -1056,6 +1081,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 12 ORDER BY url
         """,
         "q_seen_filter": """
+            SELECT 'https://host'
+                     || CAST(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
+                     || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE doc_id % 3 <> 0 ORDER BY url
+        """,
+        "q_seen_filter_prebuilt": """
             SELECT 'https://host'
                      || CAST(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
                      || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
