@@ -664,6 +664,39 @@ def _q_robots_gate(spark, sf):
     )
 
 
+def _q_robots_allow(spark, sf):
+    """REP Allow-override semantics (RFC 9309 §2.2.2, longest match wins;
+    Allow wins ties) — ORACLE-CHECKED: hosts with id % 5 == 0 carry
+    disallow ['/doc/', '/doc/3'] + allow ['/doc/1', '/doc/3'], so on rule
+    hosts a path survives iff its doc id starts with '1' (allow /doc/1 is
+    LONGER than disallow /doc/) or with '3' (the /doc/3 TIE goes to
+    Allow); everything else on those hosts is blocked."""
+    seeds = _frontier_seed_docs(spark, sf)
+    cands = frontier.canonicalize_candidates(
+        seeds.withColumn("generation", F.lit(0)).withColumn("sub", F.lit(0).cast("long"))
+    )
+    d = _t(spark, sf, "documents")
+    host_id = F.when(F.col("doc_id") % 10 < 3, F.lit(0)).otherwise(F.col("doc_id") % 97)
+    robots = (
+        d.select(host_id.alias("hid"))
+        .distinct()
+        .filter(F.col("hid") % 5 == 0)
+        .select(
+            F.concat(
+                F.lit("host"), F.col("hid").cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            F.array(F.lit("/doc/"), F.lit("/doc/3")).alias("disallow"),
+            F.array(F.lit("/doc/1"), F.lit("/doc/3")).alias("allow"),
+        )
+    )
+    return (
+        frontier.apply_robots(cands, robots)
+        .filter(~F.col("robots_blocked"))
+        .select("url")
+        .orderBy("url")
+    )
+
+
 def _q_minhash_candidates(spark, sf):
     # testdata parquet is single-row-group → a 1-task scan would serialize
     # the shingling; spread the scan-bound stage across the cluster
@@ -742,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seen_filter": _q_seen_filter,
         "q_seen_filter_prebuilt": _q_seen_filter_prebuilt,
         "q_robots_gate": _q_robots_gate,
+        "q_robots_allow": _q_robots_allow,
         # rows-only (non-SQL-expressible)
         "q_minhash_candidates": _q_minhash_candidates,
         "q_simhash": _q_simhash,
@@ -1105,6 +1139,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (hid % 5 = 0
                        AND (CAST(doc_id AS VARCHAR) LIKE '1%'
                             OR CAST(doc_id AS VARCHAR) LIKE '3%'))
+            ORDER BY url
+        """,
+        "q_robots_allow": """
+            WITH seeds AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS hid,
+                     'https://host'
+                       || CAST(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE doc_id % 97 END AS VARCHAR)
+                       || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            )
+            SELECT url FROM seeds
+            WHERE hid % 5 <> 0
+               OR CAST(doc_id AS VARCHAR) LIKE '1%'
+               OR CAST(doc_id AS VARCHAR) LIKE '3%'
             ORDER BY url
         """,
         "q_ann_cosine": """
