@@ -705,6 +705,23 @@ def _q_minhash_candidates(spark, sf):
     return dedup.minhash_lsh_candidates(sig, bands=8, rows_per_band=4).orderBy("id_a", "id_b")
 
 
+def _q_lsh_probe(spark, sf):
+    """Incremental LSH dedup: docs with even doc_id are the prebuilt
+    corpus index, odd doc_id are the incoming batch; candidates touching
+    the batch come from probe_lsh_index — no corpus re-scan. rows-only
+    (band hashes are xxhash64, not expressible in DuckDB); the exact
+    incremental==batch equivalence is pinned by
+    test_lsh_probe_matches_batch / test_merge_lsh_index_unions_deltas."""
+    d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    kw = dict(bands=8, rows_per_band=4)
+    sig_c = dedup.minhash_signatures(corpus, num_hashes=32, shingle_n=3)
+    sig_b = dedup.minhash_signatures(batch, num_hashes=32, shingle_n=3)
+    index = dedup.build_lsh_index(sig_c, **kw)
+    return dedup.probe_lsh_index(sig_b, index, **kw).orderBy("id_a", "id_b")
+
+
 def _q_simhash(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.simhash(d).orderBy("id")
@@ -778,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_allow": _q_robots_allow,
         # rows-only (non-SQL-expressible)
         "q_minhash_candidates": _q_minhash_candidates,
+        "q_lsh_probe": _q_lsh_probe,
         "q_simhash": _q_simhash,
         "q_media_features": _q_media_features,
         "q_span_extract": _q_span_extract,

@@ -102,21 +102,13 @@ def minhash_signatures(
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4,
-    max_bucket: int = 1000,
+def _band_buckets(
+    signatures: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """(id_a, id_b) candidate near-dup pairs, id_a < id_b.
-
-    Band hash = one multi-arg xxhash64 over the band's signature
-    elements + the band id (hash chaining — no per-band string render:
-    the previous cast-to-string + array_join built and hashed a ~90-char
-    string per band per doc; measured −26% end-to-end at sf0.1). Docs
-    sharing any band bucket become candidates. max_bucket caps
-    degenerate buckets (e.g. empty docs) so a mega-cluster can't produce
-    O(n^2) pairs — capped pairs are logged by the caller, not silently
-    ok'd."""
-    b = signatures.select(
+    """(id, band, bucket) — one row per (doc, band). Band hash = one
+    multi-arg xxhash64 over the band's signature elements + the band id
+    (hash chaining, no per-band string render)."""
+    return signatures.select(
         "id",
         F.explode(
             F.array(*[
@@ -134,17 +126,12 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    # ONE groupBy per (band,bucket), then pairs generated JVM-side inside
-    # the row (nested transform over the sorted, capped member array) —
-    # replaces the previous window-cap + self-join + distinct chain:
-    # 2 shuffles instead of 3, no per-bucket sort pass, and the self-join
-    # no longer recomputes the band explosion for both sides. The cap is
-    # the same first-max_bucket-ids-by-sort rule as before.
-    members = (
-        b.groupBy("band", "bucket")
-        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
+
+
+def _pairs_from_members(members: DataFrame) -> DataFrame:
+    """(band, bucket, ids sorted array) → distinct (id_a, id_b), id_a <
+    id_b — pairs generated JVM-side inside the row (nested transform over
+    the member array), no self-join."""
     pair_arr = F.flatten(
         F.transform(
             "ids",
@@ -155,10 +142,120 @@ def minhash_lsh_candidates(
         )
     )
     return (
-        members.select(F.explode(pair_arr).alias("p"))
+        members.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b) candidate near-dup pairs, id_a < id_b.
+
+    Band hash = one multi-arg xxhash64 over the band's signature
+    elements + the band id (hash chaining — no per-band string render:
+    the previous cast-to-string + array_join built and hashed a ~90-char
+    string per band per doc; measured −26% end-to-end at sf0.1). Docs
+    sharing any band bucket become candidates. max_bucket caps
+    degenerate buckets (e.g. empty docs) so a mega-cluster can't produce
+    O(n^2) pairs — capped pairs are logged by the caller, not silently
+    ok'd."""
+    b = _band_buckets(signatures, bands, rows_per_band)
+    # ONE groupBy per (band,bucket), then pairs generated JVM-side inside
+    # the row (nested transform over the sorted, capped member array) —
+    # replaces the previous window-cap + self-join + distinct chain:
+    # 2 shuffles instead of 3, no per-bucket sort pass, and the self-join
+    # no longer recomputes the band explosion for both sides. The cap is
+    # the same first-max_bucket-ids-by-sort rule as before.
+    members = b.groupBy("band", "bucket").agg(
+        F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids")
+    )
+    return _pairs_from_members(members)
+
+
+def build_lsh_index(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Corpus LSH band index: (band, bucket, ids sorted array), singleton
+    buckets INCLUDED (a later batch must be able to match a bucket's lone
+    inhabitant).
+
+    This is the incremental complement to minhash_lsh_candidates: build
+    once over the corpus, persist (at 10^10-doc scale as a SnapshotStore
+    bucketed table keyed by (band, bucket) — the same delta-log
+    discipline as the bloom bitmaps and the exact seen index), then
+    near-dup-check each incoming batch with probe_lsh_index WITHOUT
+    re-scanning or re-signing the corpus. The reference has no
+    incremental path — its dedup is a full drop_duplicates per load
+    (load_input.py:294).
+
+    max_bucket caps degenerate buckets at build time (first max_bucket
+    ids in sort order, the same rule as the batch path); the cap is
+    per-delta — see merge_lsh_index."""
+    b = _band_buckets(signatures, bands, rows_per_band)
+    return b.groupBy("band", "bucket").agg(
+        F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids")
+    )
+
+
+def merge_lsh_index(deltas: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """OR-merge LSH index deltas (union of build_lsh_index outputs) into
+    one index: per (band, bucket) the sorted distinct union of member
+    ids, re-capped. Same contract as seen.merge_bloom /
+    merge_exact_index: appending a batch = union old index with the
+    batch's delta and merge — cost ∝ |touched buckets|, never a corpus
+    rescan."""
+    return (
+        deltas.select("band", "bucket", F.explode("ids").alias("id"))
+        .groupBy("band", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_set("id")), 1, max_bucket).alias("ids"))
+    )
+
+
+def index_candidates(index: DataFrame) -> DataFrame:
+    """Distinct corpus-internal candidate pairs from a prebuilt index —
+    identical result to minhash_lsh_candidates over the corpus the index
+    was built from (same cap rule), without touching signatures again."""
+    return _pairs_from_members(index)
+
+
+def probe_lsh_index(
+    new_signatures: DataFrame, index: DataFrame, bands: int = 8,
+    rows_per_band: int = 4, max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs touching the NEW batch: new×corpus pairs
+    via an equi-join of the batch's (band, bucket) rows against the
+    prebuilt index, plus new×new pairs via the ordinary batch path over
+    the new signatures alone. (id_a, id_b) ordered by least/greatest —
+    the same natural ordering as the sorted-array batch path, so results
+    union cleanly with index_candidates. Assumes batch ids are disjoint
+    from corpus ids (same contract as every dedup id column here).
+
+    Scale: the join shuffles ONLY the batch's band rows (bands × |batch|);
+    with the index stored bucketed by (band, bucket) the corpus side
+    scans in place — the whole probe is one probe-side exchange. The
+    within-batch term is the standalone capped batch pipeline.
+
+    Cap semantics are per-phase: corpus buckets were capped at
+    build/merge time, the batch term is capped here — an incremental
+    index cannot retroactively re-rank a bucket it already capped."""
+    nb = _band_buckets(new_signatures, bands, rows_per_band)
+    cross = (
+        nb.join(index, ["band", "bucket"])
+        .select(F.col("id").alias("new_id"), F.explode("ids").alias("corpus_id"))
+        .select(
+            F.least("new_id", "corpus_id").alias("id_a"),
+            F.greatest("new_id", "corpus_id").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    within = minhash_lsh_candidates(new_signatures, bands, rows_per_band, max_bucket)
+    return cross.unionByName(within).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -409,6 +409,16 @@ def filter_unseen(
             out.materialized_count = out.count()
         return out
     if bloom is None:
+        # Ad-hoc one-shot build (callers on the per-generation path pass
+        # the incrementally-maintained store bloom instead): right-size
+        # the filter to the actual seen count rather than paying the
+        # default 10^8-key geometry (8 MB of bitmaps built, collected and
+        # broadcast) for a small table. ~10 bits/key keeps FPR ~1%; the
+        # count job is one cheap pass over a table this path only ever
+        # sees at one-shot scale.
+        cnt = seen.count()
+        total_bits = 1 << max(13, (max(cnt, 1) * 10 - 1).bit_length())
+        bits_per_bucket = min(bits_per_bucket, max(1 << 13, total_bits // n_buckets))
         bloom = build_bloom(seen, n_buckets, bits_per_bucket)
     if exact_join == "prebuilt":
         if exact_index is None:

@@ -265,10 +265,16 @@ def main() -> None:
     # whichever single run happened last); headline stats use the current
     # input size only — rates at different sizes aren't comparable
     all_runs = _load_runs(runs_path)
+    # rows marked "contaminated" (a known foreign workload ran on the box
+    # during one level's pass — e.g. a concurrent test suite slowing the
+    # lo level inflates eff) are excluded from headline AND medians in
+    # BOTH directions: distorted evidence is invalid whether it flatters
+    # or hurts. They stay in the log for audit.
     rounds = [
         r for r in all_runs
         if r.get("n_urls") == n_urls and r.get("workload", "v1") == WORKLOAD
         and r.get("pair", [4, 16]) == [N_LO, N_HI]
+        and not r.get("contaminated")
     ]
     if not rounds:
         print(
@@ -296,7 +302,7 @@ def main() -> None:
     # pair never hides earlier evidence
     other_groups: dict[tuple, list[dict]] = {}
     for r in all_runs:
-        if r.get("workload", "v1") != WORKLOAD:
+        if r.get("workload", "v1") != WORKLOAD or r.get("contaminated"):
             continue
         key = (tuple(r.get("pair", [4, 16])), r.get("n_urls", 0))
         if key == ((N_LO, N_HI), n_urls):

@@ -102,6 +102,86 @@ def test_minhash_candidates_recall_property(spark):
     assert not missing, missing
 
 
+def _lsh_corpus_and_batch(spark):
+    """Deterministic corpus (20 docs) + incoming batch (8 docs) with
+    near-dups inside the corpus, inside the batch, and across the two."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(60)]
+    corpus, batch = [], []
+    for i in range(10):
+        b = [rng.choice(words) for _ in range(25)]
+        corpus.append((f"c{i}", " ".join(b)))
+        near = list(b)
+        near[rng.randrange(len(near))] = rng.choice(words)
+        if i < 5:
+            corpus.append((f"cn{i}", " ".join(near)))   # corpus-internal dup
+        else:
+            batch.append((f"bn{i}", " ".join(near)))    # cross corpus↔batch dup
+    for i in range(3):
+        b = [rng.choice(words) for _ in range(25)]
+        batch.append((f"b{i}", " ".join(b)))
+        if i == 0:
+            batch.append((f"bb{i}", " ".join(b)))        # batch-internal dup
+    schema = "doc_id string, text string"
+    return (
+        spark.createDataFrame(corpus, schema),
+        spark.createDataFrame(batch, schema),
+    )
+
+
+def test_lsh_probe_matches_batch(spark):
+    """Incremental contract: index_candidates(build(corpus)) ∪
+    probe(batch, index) must equal minhash_lsh_candidates(corpus ∪ batch)
+    exactly when the bucket cap doesn't bind — the incremental split is
+    an optimization, invisible in the result."""
+    corpus, batch = _lsh_corpus_and_batch(spark)
+    kw = dict(bands=16, rows_per_band=2)
+    sig_c = dedup.minhash_signatures(corpus, num_hashes=32, shingle_n=2)
+    sig_b = dedup.minhash_signatures(batch, num_hashes=32, shingle_n=2)
+    sig_all = dedup.minhash_signatures(
+        corpus.unionByName(batch), num_hashes=32, shingle_n=2
+    )
+    index = dedup.build_lsh_index(sig_c, **kw)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.index_candidates(index)
+        .unionByName(dedup.probe_lsh_index(sig_b, index, **kw))
+        .collect()
+    }
+    expect = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(sig_all, **kw).collect()
+    }
+    assert got == expect
+    # non-vacuous: the fixture exercises all three pair populations
+    assert any(a.startswith("c") and b.startswith("c") for a, b in expect)
+    assert any(a.startswith("b") and b.startswith("b") for a, b in expect)
+    assert any(a.startswith("b") != b.startswith("b") for a, b in expect)
+
+
+def test_merge_lsh_index_unions_deltas(spark):
+    """Delta-log contract (same as merge_bloom / merge_exact_index):
+    merging per-batch index deltas equals building over the union."""
+    corpus, batch = _lsh_corpus_and_batch(spark)
+    kw = dict(bands=16, rows_per_band=2)
+    sig_c = dedup.minhash_signatures(corpus, num_hashes=32, shingle_n=2)
+    sig_b = dedup.minhash_signatures(batch, num_hashes=32, shingle_n=2)
+    sig_all = dedup.minhash_signatures(
+        corpus.unionByName(batch), num_hashes=32, shingle_n=2
+    )
+    merged = dedup.merge_lsh_index(
+        dedup.build_lsh_index(sig_c, **kw).unionByName(
+            dedup.build_lsh_index(sig_b, **kw)
+        )
+    )
+    whole = dedup.build_lsh_index(sig_all, **kw)
+    m = {(r["band"], r["bucket"]): list(r["ids"]) for r in merged.collect()}
+    w = {(r["band"], r["bucket"]): list(r["ids"]) for r in whole.collect()}
+    assert m == w
+
+
 def test_ngram_jaccard(spark):
     docs = _docs(spark)
     pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.7)
