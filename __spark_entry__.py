@@ -728,9 +728,49 @@ def _q_simhash(spark, sf):
 
 
 def _q_media_features(spark, sf):
+    """Binary media payloads through the real Arrow mapInPandas decode
+    plumbing, now under the full value-hash gate: synthetic_media's
+    arithmetic mode derives kind/width/height from doc_id arithmetic and
+    the payload from sha256, so DuckDB can recompute the 8-bucket byte
+    means exactly (sums of ≤4 uint8s /4 are exact in float32 AND double —
+    no cross-engine float drift)."""
     d = _t(spark, sf, "documents")
-    media = multimodal.synthetic_media(d)
-    return multimodal.extract_features(media, dim=8).select("media_id", "kind", "n_frames")
+    media = multimodal.synthetic_media(d, arithmetic=True)
+    # the 8 buckets ride as scalar double columns (f0..f7), not one
+    # array column: the driver's compare fetches the oracle side through
+    # pandas, where a DuckDB LIST lands as a numpy array and stringifies
+    # differently from a Python list — scalars dodge the representation
+    # trap without weakening the check (every bucket is still hashed)
+    return multimodal.extract_features(media, dim=8).select(
+        "media_id", "kind",
+        *[
+            F.col("feature")[i].cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+        "n_frames",
+    )
+
+
+def _q_minhash_md5(spark, sf):
+    """Oracle-checkable MinHash+LSH candidates: md5-keyed signatures
+    (dedup.minhash_signatures_md5) through the SAME banding/pair pipeline
+    as q_minhash_candidates. DuckDB reproduces the signatures exactly and
+    groups on each band's value 4-tuple (bucket hashes only matter for
+    equality, so the oracle never needs xxhash64). q_minhash_candidates
+    (token-direct xxhash64 signatures, rows-only + recall-property
+    pytest) stays the perf path."""
+    d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+    sig = dedup.minhash_signatures_md5(d, num_hashes=32, shingle_n=3)
+    return dedup.minhash_lsh_candidates(sig, bands=8, rows_per_band=4).orderBy("id_a", "id_b")
+
+
+def _q_simhash_md5(spark, sf):
+    """The oracle-checkable simhash: per-token hash = first 64 bits of
+    md5 carried as two 32-bit halves (dedup.simhash_md5) so DuckDB can
+    reproduce the signature bit-for-bit. q_simhash (xxhash64 default,
+    rows-only + python-oracle pytest) stays the perf path."""
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_md5(d).orderBy("id")
 
 
 def _q_span_extract(spark, sf):
@@ -793,11 +833,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seen_filter_prebuilt": _q_seen_filter_prebuilt,
         "q_robots_gate": _q_robots_gate,
         "q_robots_allow": _q_robots_allow,
-        # rows-only (non-SQL-expressible)
+        # hash-parameterized ops under the full gate (md5/sha256 variants)
+        "q_minhash_md5": _q_minhash_md5,
+        "q_simhash_md5": _q_simhash_md5,
+        "q_media_features": _q_media_features,
+        # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
         "q_minhash_candidates": _q_minhash_candidates,
         "q_lsh_probe": _q_lsh_probe,
         "q_simhash": _q_simhash,
-        "q_media_features": _q_media_features,
         "q_span_extract": _q_span_extract,
     }
 
@@ -1173,6 +1216,93 @@ def oracle_sql() -> dict[str, str]:
                OR CAST(doc_id AS VARCHAR) LIKE '1%'
                OR CAST(doc_id AS VARCHAR) LIKE '3%'
             ORDER BY url
+        """,
+        "q_minhash_md5": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                     ) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT id,
+                     array_to_string(t[g.i + 1 : g.i + 3], ' ') AS sh
+              FROM toks, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS g(i)
+            ),
+            hs AS (
+              SELECT id,
+                     CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h
+              FROM grams
+            ),
+            sig AS (
+              SELECT id, f.i,
+                     min(((2*f.i + 1) * h + 1000003*f.i + 12345) % 4294967311) AS mh
+              FROM hs, unnest(generate_series(0, 31)) AS f(i)
+              GROUP BY id, f.i
+            ),
+            bands AS (
+              SELECT id, i // 4 AS band,
+                     array_to_string(list(mh ORDER BY i), ',') AS slice_key
+              FROM sig GROUP BY id, i // 4
+            )
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.slice_key = b.slice_key AND a.id < b.id
+            ORDER BY id_a, id_b
+        """,
+        "q_simhash_md5": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                     )) AS tok
+              FROM documents
+            ),
+            halves AS (
+              SELECT id,
+                     CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+                     CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+              FROM toks
+            ),
+            votes AS (
+              SELECT id, g.i,
+                     sum(CASE WHEN ((hi >> g.i) & 1) = 1 THEN 1 ELSE -1 END) AS vhi,
+                     sum(CASE WHEN ((lo >> g.i) & 1) = 1 THEN 1 ELSE -1 END) AS vlo
+              FROM halves, unnest(generate_series(0, 31)) AS g(i)
+              GROUP BY id, g.i
+            )
+            SELECT id,
+                   CAST(sum(CASE WHEN vhi > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                        AS BIGINT) AS simhash_hi,
+                   CAST(sum(CASE WHEN vlo > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                        AS BIGINT) AS simhash_lo
+            FROM votes GROUP BY id ORDER BY id
+        """,
+        "q_media_features": """
+            WITH bytes AS (
+              SELECT doc_id, g.i,
+                     CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 2*g.i + 1, 2))
+                          AS BIGINT) AS byte
+              FROM documents, unnest(generate_series(0, 31)) AS g(i)
+            ),
+            feats AS (
+              SELECT doc_id, i // 4 AS bucket, avg(byte) AS fv
+              FROM bytes GROUP BY doc_id, i // 4
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   max(CASE WHEN bucket = 0 THEN fv END) AS f0,
+                   max(CASE WHEN bucket = 1 THEN fv END) AS f1,
+                   max(CASE WHEN bucket = 2 THEN fv END) AS f2,
+                   max(CASE WHEN bucket = 3 THEN fv END) AS f3,
+                   max(CASE WHEN bucket = 4 THEN fv END) AS f4,
+                   max(CASE WHEN bucket = 5 THEN fv END) AS f5,
+                   max(CASE WHEN bucket = 6 THEN fv END) AS f6,
+                   max(CASE WHEN bucket = 7 THEN fv END) AS f7,
+                   CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 1 END AS n_frames
+            FROM feats GROUP BY doc_id ORDER BY media_id
         """,
         "q_ann_cosine": """
             SELECT query_id, rank, neighbor_id FROM (

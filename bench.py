@@ -192,12 +192,17 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         _force(qs[name](spark, sf_dir))  # warm-up, untimed
-        best = float("inf")
-        for _ in range(2):
+        meas: list[float] = []
+        # min-of-2, extended (max 5) while the reps disagree >1.5x: a
+        # host-noise spike hitting both of 2 reps once produced a 20.8 s
+        # reading for a query whose quiet-window cost is 1.7 s — extra
+        # reps let a later quiet second escape a transient window, while
+        # agreeing reps stop at 2 (no cost in the common case)
+        while len(meas) < 2 or (max(meas) > 1.5 * min(meas) and len(meas) < 5):
             t0 = time.time()
             _force(qs[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            meas.append(time.time() - t0)
+        times[name] = round(min(meas), 3)
 
     # steady-state throughput: warm codegen/python workers first, then
     # best-of-2 (this sandbox VM's deliverable perf is noisy; host noise

@@ -102,6 +102,37 @@ def minhash_signatures(
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_signatures_md5(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash whose base hash is the first 32
+    bits of md5(shingle string), family member i =
+    ((2i+1)·h + 1000003·i + 12345) mod 4294967311 (prime > 2^32).
+
+    Exists so the whole signature — shingling, hashing, the affine
+    family, the min aggregation — is reproducible in an external
+    ANSI-SQL engine (the DuckDB oracle for q_minhash_md5): md5 +
+    hex-substring gives the base hash, and every affine product stays
+    under 2^39, far inside signed-64 range in any engine. The engine
+    default stays minhash_signatures (token-direct multi-arg xxhash64 —
+    no gram string is ever built), which is several times cheaper but
+    not expressible outside Spark. Same uniformity guarantees; only the
+    hash family differs."""
+    sh = shingles(docs, text_col, id_col, shingle_n)
+    h32 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    hs = sh.select("id", h32.alias("_h"))
+    aggs = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("_h") + F.lit(1000003 * i + 12345))
+            % F.lit(4294967311)
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = hs.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
 def _band_buckets(
     signatures: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
@@ -329,6 +360,49 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         )
         sig = bit if sig is None else sig + bit
     return summed.select("id", sig.alias("simhash"))
+
+
+def simhash_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash_hi, simhash_lo) — the same bit-vote simhash as
+    simhash(), but the per-token hash is the first 64 bits of md5,
+    carried as two unsigned 32-bit halves.
+
+    Exists so the signature is reproducible bit-for-bit by an external
+    ANSI-SQL engine (md5 + hex-substring + integer shifts — the DuckDB
+    oracle for q_simhash_md5); the engine default stays simhash()'s
+    single multi-arg xxhash64, which is ~3× cheaper per token but not
+    expressible outside Spark. The two halves dodge signed-64 overflow
+    in engines whose BIGINT shift/sum semantics differ at bit 63; a
+    caller who wants one long can pack shiftleft(hi,32)|lo."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("_md5", F.md5("tok"))
+    halves = toks.select(
+        "id",
+        F.conv(F.substring("_md5", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("_md5", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    vote_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"{h}{i}")
+        for h in ("hi", "lo")
+        for i in range(32)
+    ]
+    summed = halves.groupBy("id").agg(*vote_aggs)
+
+    def pack(h: str):
+        sig = F.lit(0).cast("long")
+        for i in range(32):
+            sig = sig + F.when(
+                F.col(f"{h}{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return summed.select(
+        "id", pack("hi").alias("simhash_hi"), pack("lo").alias("simhash_lo")
+    )
 
 
 def simhash_near_dups(sig: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -38,19 +38,37 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def synthetic_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthetic_media(
+    documents: DataFrame, id_col: str = "doc_id", arithmetic: bool = False
+) -> DataFrame:
     """Deterministic fake media table derived from doc ids — payload bytes
-    are a hash-expanded pattern so tests have real binary columns."""
+    are a hash-expanded pattern so tests have real binary columns.
+
+    arithmetic=True derives kind/width/height/duration by modular
+    arithmetic on a NUMERIC id instead of xxhash64 — same shape, but
+    every derived field (and the sha256 payload) is reproducible in an
+    external ANSI-SQL engine, which is what lets q_media_features run
+    under the full DuckDB value-hash gate instead of rows-only."""
+    if arithmetic:
+        kind_sel = F.pmod(F.col(id_col).cast("long"), F.lit(3)) + 1
+        width = F.pmod(F.col(id_col).cast("long"), F.lit(1920)) + 1
+        height = F.pmod(F.col(id_col).cast("long"), F.lit(1080)) + 1
+        duration = F.pmod(F.col(id_col).cast("long"), F.lit(60000))
+    else:
+        kind_sel = F.pmod(F.xxhash64(id_col), F.lit(3)) + 1
+        width = F.pmod(F.xxhash64(id_col, F.lit(1)), F.lit(1920)) + 1
+        height = F.pmod(F.xxhash64(id_col, F.lit(2)), F.lit(1080)) + 1
+        duration = F.pmod(F.xxhash64(id_col, F.lit(3)), F.lit(60000))
     return documents.select(
         F.col(id_col).cast("string").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64(id_col), F.lit(3)) + 1).cast("int"),
+            kind_sel.cast("int"),
         ).alias("kind"),
         F.lit("application/octet-stream").alias("mime"),
-        (F.pmod(F.xxhash64(id_col, F.lit(1)), F.lit(1920)) + 1).cast("int").alias("width"),
-        (F.pmod(F.xxhash64(id_col, F.lit(2)), F.lit(1080)) + 1).cast("int").alias("height"),
-        (F.pmod(F.xxhash64(id_col, F.lit(3)), F.lit(60000))).cast("long").alias("duration_ms"),
+        width.cast("int").alias("width"),
+        height.cast("int").alias("height"),
+        duration.cast("long").alias("duration_ms"),
         F.to_binary(F.sha2(F.col(id_col).cast("string"), 256), F.lit("hex")).alias("payload"),
     )
 

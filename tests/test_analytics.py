@@ -284,6 +284,92 @@ def test_multimodal_plumbing(spark):
     assert frames.count() >= media.filter("kind='video'").count()
 
 
+def test_simhash_md5_matches_python_oracle(spark):
+    """Sequential Python oracle for simhash_md5: md5 via hashlib, the
+    same bit-vote + sign assembly per 32-bit half. Pins the Spark
+    conv/substring hash derivation (the DuckDB driver oracle checks the
+    same contract cross-engine at sf0.01)."""
+    import hashlib
+    import re
+
+    docs = _docs(spark)
+    expect = {}
+    for r in docs.collect():
+        norm = re.sub(r"\s+", " ", (r["text"] or "").strip().lower())
+        vh, vl = [0] * 32, [0] * 32
+        for t in norm.split(" "):
+            h = hashlib.md5(t.encode()).hexdigest()
+            hi, lo = int(h[:8], 16), int(h[8:16], 16)
+            for i in range(32):
+                vh[i] += 1 if (hi >> i) & 1 else -1
+                vl[i] += 1 if (lo >> i) & 1 else -1
+        expect[r["doc_id"]] = (
+            sum(1 << i for i in range(32) if vh[i] > 0),
+            sum(1 << i for i in range(32) if vl[i] > 0),
+        )
+    got = {
+        r["id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in dedup.simhash_md5(docs).collect()
+    }
+    assert got == expect
+
+
+def test_minhash_md5_matches_python_oracle(spark):
+    """Sequential Python oracle for the md5-keyed minhash signatures:
+    3-word shingles, first-32-md5-bits base hash, affine family mod the
+    >2^32 prime — must match dedup.minhash_signatures_md5 exactly."""
+    import hashlib
+    import re
+
+    docs = _docs(spark).filter("text != ''")
+    expect = {}
+    for r in docs.collect():
+        norm = re.sub(r"\s+", " ", r["text"].strip().lower())
+        toks = norm.split(" ")
+        grams = []
+        for i in range(max(len(toks) - 3, 0) + 1):
+            g = " ".join(toks[i : i + 3])
+            if g not in grams:
+                grams.append(g)
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        expect[r["doc_id"]] = [
+            min(((2 * i + 1) * h + 1000003 * i + 12345) % 4294967311 for h in hs)
+            for i in range(32)
+        ]
+    got = {
+        r["id"]: list(r["sig"])
+        for r in dedup.minhash_signatures_md5(docs).collect()
+    }
+    assert got == expect
+
+
+def test_synthetic_media_arithmetic_mode(spark):
+    """arithmetic=True derives metadata from numeric-id modular arithmetic
+    (the oracle-reproducible mode); payload (sha256 of the id string) is
+    identical to the default mode, so features agree across modes."""
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    media = multimodal.synthetic_media(docs, arithmetic=True)
+    rows = {r["media_id"]: r for r in media.collect()}
+    kinds = ["image", "audio", "video"]
+    for i in range(7):
+        r = rows[str(i)]
+        assert r["kind"] == kinds[i % 3]
+        assert r["width"] == i % 1920 + 1
+        assert r["height"] == i % 1080 + 1
+        assert r["duration_ms"] == i % 60000
+    f_arith = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(media, dim=8).collect()
+    }
+    f_default = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(
+            multimodal.synthetic_media(docs), dim=8
+        ).collect()
+    }
+    assert f_arith == f_default
+
+
 def test_strict_decode_raises(spark):
     import pytest as _pytest
     media = multimodal.synthetic_media(_docs(spark)).limit(1)
