@@ -708,16 +708,19 @@ def _q_minhash_candidates(spark, sf):
 def _q_lsh_probe(spark, sf):
     """Incremental LSH dedup: docs with even doc_id are the prebuilt
     corpus index, odd doc_id are the incoming batch; candidates touching
-    the batch come from probe_lsh_index — no corpus re-scan. rows-only
-    (band hashes are xxhash64, not expressible in DuckDB); the exact
-    incremental==batch equivalence is pinned by
-    test_lsh_probe_matches_batch / test_merge_lsh_index_unions_deltas."""
+    the batch come from probe_lsh_index — no corpus re-scan. Runs on the
+    md5-keyed signatures so DuckDB can reproduce it: the oracle computes
+    whole-corpus band-tuple pairs and keeps those touching ≥1 odd id —
+    exactly the probe contract (new×corpus ∪ new×new, never
+    corpus×corpus). The xxhash64 default path through the same
+    probe/merge code is pinned exact by test_lsh_probe_matches_batch /
+    test_merge_lsh_index_unions_deltas."""
     d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 2 == 1)
     kw = dict(bands=8, rows_per_band=4)
-    sig_c = dedup.minhash_signatures(corpus, num_hashes=32, shingle_n=3)
-    sig_b = dedup.minhash_signatures(batch, num_hashes=32, shingle_n=3)
+    sig_c = dedup.minhash_signatures_md5(corpus, num_hashes=32, shingle_n=3)
+    sig_b = dedup.minhash_signatures_md5(batch, num_hashes=32, shingle_n=3)
     index = dedup.build_lsh_index(sig_c, **kw)
     return dedup.probe_lsh_index(sig_b, index, **kw).orderBy("id_a", "id_b")
 
@@ -836,10 +839,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-parameterized ops under the full gate (md5/sha256 variants)
         "q_minhash_md5": _q_minhash_md5,
         "q_simhash_md5": _q_simhash_md5,
+        "q_lsh_probe": _q_lsh_probe,
         "q_media_features": _q_media_features,
         # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
         "q_minhash_candidates": _q_minhash_candidates,
-        "q_lsh_probe": _q_lsh_probe,
         "q_simhash": _q_simhash,
         "q_span_extract": _q_span_extract,
     }
@@ -1249,6 +1252,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.slice_key = b.slice_key AND a.id < b.id
+            ORDER BY id_a, id_b
+        """,
+        "q_lsh_probe": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                     ) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT id,
+                     array_to_string(t[g.i + 1 : g.i + 3], ' ') AS sh
+              FROM toks, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS g(i)
+            ),
+            hs AS (
+              SELECT id,
+                     CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h
+              FROM grams
+            ),
+            sig AS (
+              SELECT id, f.i,
+                     min(((2*f.i + 1) * h + 1000003*f.i + 12345) % 4294967311) AS mh
+              FROM hs, unnest(generate_series(0, 31)) AS f(i)
+              GROUP BY id, f.i
+            ),
+            bands AS (
+              SELECT id, i // 4 AS band,
+                     array_to_string(list(mh ORDER BY i), ',') AS slice_key
+              FROM sig GROUP BY id, i // 4
+            )
+            -- the probe contract: every candidate pair TOUCHING the odd
+            -- (batch) half — new x corpus and new x new, never
+            -- corpus x corpus
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.slice_key = b.slice_key AND a.id < b.id
+            WHERE a.id % 2 = 1 OR b.id % 2 = 1
             ORDER BY id_a, id_b
         """,
         "q_simhash_md5": """
