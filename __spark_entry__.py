@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from post_processor_spark import canon, frontier  # noqa: E402
-from post_processor_spark.analytics import dedup, multimodal, similarity, text  # noqa: E402
+from post_processor_spark.analytics import decontam, dedup, multimodal, similarity, text  # noqa: E402
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -776,6 +776,40 @@ def _q_simhash_md5(spark, sf):
     return dedup.simhash_md5(d).orderBy("id")
 
 
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3/Dolma-style n-gram overlap):
+    documents with doc_id % 10 == 0 act as the held-out eval set, the
+    rest are the training corpus; every corpus doc is flagged with the
+    number of distinct 4-grams it shares with the eval set. md5-keyed so
+    DuckDB recomputes the exact gram-hash sets; the engine default
+    (token-direct xxhash64, zero gram strings) runs through the same
+    join shape and is pinned equal by
+    test_flag_contamination_matches_python_oracle."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    out = decontam.flag_contamination(corpus, bench, n=4, hash="md5")
+    return out.select(
+        "doc_id", "contam_grams", F.col("contaminated").cast("int").alias("contaminated")
+    ).orderBy("doc_id")
+
+
+def _q_repetition(spark, sf):
+    """Gopher-style within-document repetition profile — all per-row
+    array expressions (zero shuffle; see decontam.repetition_profile).
+    Rounded to 4 for cross-engine float parity like the other ratio
+    oracles."""
+    d = _t(spark, sf, "documents")
+    prof = decontam.repetition_profile(d, ngram_n=2)
+    return prof.select(
+        "doc_id",
+        F.round("dup_word_frac", 4).alias("dup_word_frac"),
+        F.round("dup_ngram_frac", 4).alias("dup_ngram_frac"),
+        F.round("top_ngram_frac", 4).alias("top_ngram_frac"),
+        F.round("dup_line_frac", 4).alias("dup_line_frac"),
+    ).orderBy("doc_id")
+
+
 def _q_span_extract(spark, sf):
     d = _t(spark, sf, "documents")
     n = d.count()
@@ -840,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_md5": _q_minhash_md5,
         "q_simhash_md5": _q_simhash_md5,
         "q_lsh_probe": _q_lsh_probe,
+        "q_decontaminate": _q_decontaminate,
+        "q_repetition": _q_repetition,
         "q_media_features": _q_media_features,
         # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
         "q_minhash_candidates": _q_minhash_candidates,
@@ -1291,6 +1327,91 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.slice_key = b.slice_key AND a.id < b.id
             WHERE a.id % 2 = 1 OR b.id % 2 = 1
             ORDER BY id_a, id_b
+        """,
+        "q_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                     ) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(
+                       md5(array_to_string(t[g.i + 1 : g.i + 4], ' ')), 1, 8
+                     )) AS BIGINT) AS h
+              FROM toks, unnest(generate_series(0, greatest(len(t) - 4, 0))) AS g(i)
+            ),
+            bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0),
+            hits AS (
+              SELECT c.doc_id, count(DISTINCT c.h) AS contam_grams
+              FROM grams c JOIN bench b USING (h)
+              WHERE c.doc_id % 10 != 0
+              GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.contam_grams, 0) AS contam_grams,
+                   CAST(coalesce(h.contam_grams, 0) > 0 AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 10 != 0
+            ORDER BY doc_id
+        """,
+        "q_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                     ) AS t
+              FROM documents
+            ),
+            tstats AS (
+              SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_tok_d
+              FROM toks
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(t[g.i + 1 : g.i + 2], ' ') AS gr
+              FROM toks, unnest(generate_series(0, greatest(len(t) - 2, 0))) AS g(i)
+            ),
+            gcnt AS (
+              SELECT doc_id, gr, count(*) AS cnt FROM grams GROUP BY doc_id, gr
+            ),
+            gstats AS (
+              SELECT doc_id, sum(cnt) AS n_gram, count(*) AS n_gram_d,
+                     max(cnt) AS top_cnt
+              FROM gcnt GROUP BY doc_id
+            ),
+            lines AS (
+              SELECT doc_id, trim(l) AS line
+              FROM documents, unnest(string_split(text, chr(10))) AS u(l)
+              WHERE trim(l) != ''
+            ),
+            lcnt AS (
+              SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line
+            ),
+            lstats AS (
+              SELECT doc_id,
+                     sum(length(line) * cnt) AS line_chars,
+                     sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END) AS dup_chars
+              FROM lcnt GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   round(round(CASE WHEN t.n_tok = 0 THEN 0.0
+                     ELSE 1.0 - CAST(t.n_tok_d AS DOUBLE) / t.n_tok END, 6), 4)
+                     AS dup_word_frac,
+                   round(round(CASE WHEN g.n_gram = 0 THEN 0.0
+                     ELSE 1.0 - CAST(g.n_gram_d AS DOUBLE) / g.n_gram END, 6), 4)
+                     AS dup_ngram_frac,
+                   round(round(CASE WHEN g.n_gram = 0 THEN 0.0
+                     ELSE CAST(g.top_cnt AS DOUBLE) / g.n_gram END, 6), 4)
+                     AS top_ngram_frac,
+                   round(round(CASE WHEN coalesce(l.line_chars, 0) = 0 THEN 0.0
+                     ELSE CAST(l.dup_chars AS DOUBLE) / l.line_chars END, 6), 4)
+                     AS dup_line_frac
+            FROM tstats t
+            JOIN gstats g USING (doc_id)
+            LEFT JOIN lstats l USING (doc_id)
+            ORDER BY doc_id
         """,
         "q_simhash_md5": """
             WITH toks AS (
