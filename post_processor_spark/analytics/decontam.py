@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from post_processor_spark.analytics.dedup import (
     hashed_shingles,
-    normalize_text,
+    norm_tokens,
     shingles,
 )
 
@@ -133,7 +133,7 @@ def repetition_profile(
     parallel, no exchange at any width. Interpreted-lambda cost is one
     pass over each doc's grams (cheap next to the tokenize), unlike the
     minhash case where the lambda ran 32× per shingle."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    toks = norm_tokens(F.col(text_col))
     n_tok = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(n_tok - ngram_n, F.lit(0))),

@@ -25,6 +25,17 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def norm_tokens(col):
+    """Whitespace tokens of the normalized text, in one regex pass:
+    split(lower(trim(x)), '\\s+') yields exactly
+    split(normalize_text(x), ' ') — the collapse-then-split round trip
+    builds a full normalized copy of every document only to cut it
+    apart again, which profiling showed was the single largest cost of
+    the whole minhash pipeline (the explode floor). Keep normalize_text
+    for operators that need the normalized STRING as a key."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the first doc (by id) per normalized-text group."""
     w = Window.partitionBy(normalize_text(F.col(text_col))).orderBy(id_col)
@@ -33,7 +44,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def shingles(docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) — word n-gram shingles, distinct per doc."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    toks = norm_tokens(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
@@ -63,7 +74,7 @@ def hashed_shingles(
 def _gram_hashes(text_col: str, n: int):
     """array<long> of distinct word-n-gram hashes for one document row
     (see hashed_shingles for the hashing contract)."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    toks = norm_tokens(F.col(text_col))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -344,7 +355,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     at |docs| rows × 64 longs, no per-token arrays materialized."""
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        F.explode(norm_tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     vote_aggs = [
         F.sum(
@@ -376,7 +387,7 @@ def simhash_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     caller who wants one long can pack shiftleft(hi,32)|lo."""
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        F.explode(norm_tokens(F.col(text_col))).alias("tok"),
     ).withColumn("_md5", F.md5("tok"))
     halves = toks.select(
         "id",
