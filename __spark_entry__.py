@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from post_processor_spark import canon, frontier  # noqa: E402
-from post_processor_spark.analytics import decontam, dedup, multimodal, similarity, text  # noqa: E402
+from post_processor_spark.analytics import decontam, dedup, multimodal, sampling, similarity, text  # noqa: E402
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -810,6 +810,20 @@ def _q_repetition(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_stratified_sample(spark, sf):
+    """Deterministic per-language rate control (training-mix rebalance):
+    keep all English, half the German, a fifth of Chinese, 10% of
+    everything else — no RNG, membership is md5(doc_id ‖ salt) < rate,
+    so DuckDB reproduces the exact row set. Map-only, zero shuffle
+    (sampling.stratified_sample)."""
+    d = _t(spark, sf, "documents")
+    out = sampling.stratified_sample(
+        d, "lang", {"en": 1.0, "de": 0.5, "zh": 0.2},
+        default_fraction=0.1, key_col="doc_id", salt="mix1",
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def _q_span_extract(spark, sf):
     d = _t(spark, sf, "documents")
     n = d.count()
@@ -876,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_probe": _q_lsh_probe,
         "q_decontaminate": _q_decontaminate,
         "q_repetition": _q_repetition,
+        "q_stratified_sample": _q_stratified_sample,
         "q_media_features": _q_media_features,
         # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
         "q_minhash_candidates": _q_minhash_candidates,
@@ -1327,6 +1342,15 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.slice_key = b.slice_key AND a.id < b.id
             WHERE a.id % 2 = 1 OR b.id % 2 = 1
             ORDER BY id_a, id_b
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, lang
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8)) AS BIGINT)
+                  / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                              WHEN 'zh' THEN 0.2 ELSE 0.1 END
+            ORDER BY doc_id
         """,
         "q_decontaminate": """
             WITH toks AS (

@@ -1,0 +1,92 @@
+"""Deterministic hash-based sampling for training-data pipelines:
+uniform downsample, per-stratum (domain/language) rate control, and a
+stable train/eval holdout split.
+
+No RNG anywhere: each row's sampling coordinate u ∈ [0,1) is derived
+from md5(key ‖ salt), so the sample is (a) exactly reproducible across
+runs, engines, and cluster sizes, (b) stable under re-partitioning and
+input reordering, and (c) consistent across tables — sampling two
+tables by the same key keeps them aligned. md5 (not xxhash64) keeps the
+whole decision reproducible in ANSI SQL (the DuckDB oracle for
+q_stratified_sample recomputes u bit-for-bit).
+
+Scale shape: every operator here is a map-only filter — no shuffle, no
+state, embarrassingly parallel at any width. Changing the salt draws an
+independent sample; changing fractions keeps subset monotonicity
+(fraction 0.1 ⊂ fraction 0.2 at the same salt), which is what you want
+for growing a training mix without re-drawing it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^32 — u is the first 8 md5 hex digits scaled into [0,1)
+_SCALE = float(1 << 32)
+
+
+def sample_u(key: Column, salt: str = "") -> Column:
+    """u ∈ [0,1): first 32 bits of md5(key ‖ salt) / 2^32."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_SCALE)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep ~fraction of rows, deterministically by key hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1]: {fraction}")
+    return df.filter(sample_u(F.col(key_col), salt) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float],
+    default_fraction: float = 0.0, key_col: str = "doc_id", salt: str = "",
+) -> DataFrame:
+    """Per-stratum rate control: keep a row iff u < fraction of its
+    stratum (unlisted strata get default_fraction). The per-stratum
+    threshold is a literal CASE chain — for thousands of strata pass the
+    fractions as a broadcast-joined rates table instead; this form keeps
+    the filter inside whole-stage codegen for the common few-strata mix
+    (languages, source tiers)."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction must be in [0,1]: {k}={v}")
+    thr: Column = F.lit(float(default_fraction))
+    for k, v in fractions.items():
+        thr = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(thr)
+    return df.filter(sample_u(F.col(key_col), salt) < thr)
+
+
+def stratified_sample_table(
+    df: DataFrame, rates: DataFrame, strata_col: str,
+    default_fraction: float = 0.0, key_col: str = "doc_id", salt: str = "",
+) -> DataFrame:
+    """stratified_sample for MANY strata: rates(strata, fraction) is
+    broadcast-joined (small dim by construction — one row per stratum),
+    so the corpus still never shuffles."""
+    r = F.broadcast(
+        rates.select(F.col(strata_col), F.col("fraction").cast("double"))
+    )
+    joined = df.join(r, strata_col, "left")
+    return joined.filter(
+        sample_u(F.col(key_col), salt)
+        < F.coalesce(F.col("fraction"), F.lit(float(default_fraction)))
+    ).select(*df.columns)
+
+
+def train_eval_split(
+    df: DataFrame, eval_fraction: float = 0.01, key_col: str = "doc_id",
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """(train, eval) — a stable holdout: a row's side never changes as
+    the corpus grows, because membership depends only on its own key.
+    Use a different salt than any hash_sample over the same keys so the
+    holdout isn't correlated with a downsample."""
+    u = sample_u(F.col(key_col), salt)
+    return (
+        df.filter(u >= F.lit(eval_fraction)),
+        df.filter(u < F.lit(eval_fraction)),
+    )
