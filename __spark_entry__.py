@@ -810,6 +810,17 @@ def _q_repetition(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_line_dedup(spark, sf):
+    """Corpus-wide line dedup (CCNet-style): every repeated non-empty
+    line keeps only its first (doc_id, position) occurrence; documents
+    are rebuilt from surviving lines. Skew-safe plan: partial-agg
+    min(struct(id,pos)) per line hash instead of a hot-partition
+    row_number window (dedup.dedup_lines)."""
+    d = _t(spark, sf, "documents")
+    out = dedup.dedup_lines(d)
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic per-language rate control (training-mix rebalance):
     keep all English, half the German, a fifth of Chinese, 10% of
@@ -891,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_repetition": _q_repetition,
         "q_stratified_sample": _q_stratified_sample,
+        "q_line_dedup": _q_line_dedup,
         "q_media_features": _q_media_features,
         # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
         "q_minhash_candidates": _q_minhash_candidates,
@@ -1342,6 +1354,28 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.slice_key = b.slice_key AND a.id < b.id
             WHERE a.id % 2 = 1 OR b.id % 2 = 1
             ORDER BY id_a, id_b
+        """,
+        "q_line_dedup": """
+            WITH split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, g.i AS pos, trim(ls[g.i]) AS line
+              FROM split, unnest(generate_series(1, len(ls))) AS g(i)
+              WHERE trim(ls[g.i]) != ''
+            ),
+            kept AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+              FROM lines
+            ),
+            rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM kept WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.text, '') AS text
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY doc_id
         """,
         "q_stratified_sample": """
             SELECT doc_id, lang

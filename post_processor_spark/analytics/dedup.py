@@ -632,3 +632,47 @@ def embedding_neardup_pairs(
         cand.select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_lines(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style corpus-wide line deduplication: every non-empty line
+    keeps exactly its FIRST occurrence (ordered by (doc id, position));
+    later repeats — boilerplate, cookie banners, navigation chrome —
+    are dropped and each document's text is rebuilt from its surviving
+    lines in original order. Empty/whitespace lines are dropped
+    outright. Docs whose every line is dropped survive with empty text.
+
+    Plan: explode lines with position → groupBy(line key).min(struct
+    (id, pos)) — PARTIAL aggregation makes the hot-line skew harmless
+    (a line repeated 10^8 times map-side-combines to one row per task,
+    where a row_number window over partitionBy(line) would sort the
+    whole hot partition on one reducer) → equi-join keepers back →
+    groupBy(id) ordered reassembly. Two line-keyed exchanges + one
+    id-keyed; the line key is xxhash64(trimmed line) so the wide text
+    never rides the aggregation exchange."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    ).withColumn("line", F.trim("line")).filter(F.col("line") != "")
+    lines = lines.withColumn("lk", F.xxhash64("line"))
+    keepers = lines.groupBy("lk").agg(
+        F.min(F.struct("id", "pos")).alias("first")
+    ).select("lk", F.col("first.id").alias("id"), F.col("first.pos").alias("pos"))
+    kept = lines.join(keepers, ["lk", "id", "pos"])
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_new_text")
+    )
+    out = docs.join(rebuilt, docs[id_col] == rebuilt["id"], "left").drop("id")
+    cols = [
+        F.coalesce(F.col("_new_text"), F.lit("")).alias(c) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return out.select(*cols)
