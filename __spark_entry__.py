@@ -785,7 +785,7 @@ def _q_decontaminate(spark, sf):
     (token-direct xxhash64, zero gram strings) runs through the same
     join shape and is pinned equal by
     test_flag_contamination_matches_python_oracle."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     bench = d.filter(F.col("doc_id") % 10 == 0)
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     out = decontam.flag_contamination(corpus, bench, n=4, hash="md5")
@@ -799,7 +799,7 @@ def _q_repetition(spark, sf):
     array expressions (zero shuffle; see decontam.repetition_profile).
     Rounded to 4 for cross-engine float parity like the other ratio
     oracles."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     prof = decontam.repetition_profile(d, ngram_n=2)
     return prof.select(
         "doc_id",
@@ -816,7 +816,7 @@ def _q_line_dedup(spark, sf):
     are rebuilt from surviving lines. Skew-safe plan: partial-agg
     min(struct(id,pos)) per line hash instead of a hot-partition
     row_number window (dedup.dedup_lines)."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     out = dedup.dedup_lines(d)
     return out.select("doc_id", "text").orderBy("doc_id")
 

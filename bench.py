@@ -40,6 +40,10 @@ HEADLINE_QUERIES = [
     "q_simhash",
     "q_media_features",
     "q_span_extract",
+    "q_decontaminate",
+    "q_repetition",
+    "q_stratified_sample",
+    "q_line_dedup",
     "q_frontier_schedule",
     "q_seen_filter",
 ]

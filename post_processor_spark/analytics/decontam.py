@@ -114,6 +114,25 @@ def contamination_report(
     )
 
 
+def _gram_hash_stats(docs, text_col, id_col, n):
+    """(id, n_gram, n_distinct, top_cnt) — wordcount-shaped: explode
+    NON-distinct gram hashes (token-direct multi-arg xxhash64, no gram
+    string), groupBy(id, h).count, then per-id totals. Both aggregations
+    partial map-side; everything stays in whole-stage codegen."""
+    toks = norm_tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.xxhash64(*[F.get(toks, i + j) for j in range(n)]),
+    )
+    exploded = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("h"))
+    per_gram = exploded.groupBy("id", "h").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("id").agg(
+        F.sum("cnt").alias("n_gram"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+
+
 def repetition_profile(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ngram_n: int = 2,
@@ -126,72 +145,53 @@ def repetition_profile(
       top_ngram_frac  occurrences of the most frequent n-gram / total
       dup_line_frac   chars in lines occurring >1× / total line chars
 
-    Zero shuffle: every signal is a per-row array expression. The mode
-    (top n-gram count) folds over the SORTED gram array with one
-    F.aggregate run-length pass instead of an explode+groupBy — at
-    100 TB that keeps the whole profile map-only, embarrassingly
-    parallel, no exchange at any width. Interpreted-lambda cost is one
-    pass over each doc's grams (cheap next to the tokenize), unlike the
-    minhash case where the lambda ran 32× per shingle."""
-    toks = norm_tokens(F.col(text_col))
-    n_tok = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_tok - ngram_n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, ngram_n), " "),
+    Shape: three wordcount-style explode → (id, key) count → per-id
+    rollup pipelines (words = 1-grams, n-grams, lines), joined on id.
+    All counting is on xxhash64 key hashes — no gram string is ever
+    built — and every aggregation partial-combines map-side, so the
+    shuffled volume is distinct-keys-per-doc, not tokens. A zero-shuffle
+    variant (per-row F.aggregate run-length fold over the sorted gram
+    array) was measured ~10× SLOWER at sf0.01: higher-order lambdas with
+    struct state are interpreted per element, while this explode/agg
+    pipeline is whole-stage-codegen — the same measured tradeoff as the
+    minhash signature aggregation (dedup.minhash_signatures)."""
+    words = _gram_hash_stats(docs, text_col, id_col, 1)
+    grams = _gram_hash_stats(docs, text_col, id_col, ngram_n)
+    lines_exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\n")).alias("line"),
+    ).select("id", F.trim("line").alias("line")).filter(F.col("line") != "")
+    per_line = lines_exploded.groupBy("id", F.xxhash64("line").alias("h")).agg(
+        F.count("*").alias("cnt"), F.first(F.length("line")).alias("len")
     )
-    n_gram = F.size(grams)
-    # run-length fold over the sorted grams: state = (prev, run, best)
-    top_cnt = F.aggregate(
-        F.array_sort(grams),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda st, g: F.struct(
-            g.alias("prev"),
-            F.when(g == st["prev"], st["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                st["best"],
-                F.when(g == st["prev"], st["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda st: st["best"],
+    line_stats = per_line.groupBy("id").agg(
+        F.sum(F.col("len") * F.col("cnt")).alias("line_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("len") * F.col("cnt")).otherwise(F.lit(0))
+        ).alias("dup_line_chars"),
     )
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
-        lambda l: l != "",
+
+    def frac(num, den):
+        return F.round(
+            F.when(den.isNull() | (den == 0), F.lit(0.0)).otherwise(
+                num.cast("double") / den
+            ),
+            6,
+        )
+
+    w = words.withColumnsRenamed(
+        {"n_gram": "n_tok", "n_distinct": "n_tok_d", "top_cnt": "_wt"}
     )
-    line_chars = F.aggregate(
-        F.transform(lines, F.length), F.lit(0), lambda a, b: a + b
+    out = (
+        docs.select(F.col(id_col))
+        .join(w, docs[id_col] == w["id"], "left").drop("id")
+        .join(grams, docs[id_col] == grams["id"], "left").drop("id")
+        .join(line_stats, docs[id_col] == line_stats["id"], "left").drop("id")
     )
-    # chars in lines whose value occurs >1×: fold the sorted line array,
-    # counting every char of any line equal to its predecessor PLUS the
-    # first occurrence's chars exactly once (when run hits 2).
-    dup_line_chars = F.aggregate(
-        F.array_sort(lines),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("chars")
-        ),
-        lambda st, l: F.struct(
-            l.alias("prev"),
-            F.when(l == st["prev"], st["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            (
-                st["chars"]
-                + F.when(
-                    l == st["prev"],
-                    F.length(l)
-                    + F.when(st["run"] == 1, F.length(l)).otherwise(F.lit(0)),
-                ).otherwise(F.lit(0))
-            ).alias("chars"),
-        ),
-        lambda st: st["chars"],
-    )
-    frac = lambda num, den: F.round(
-        F.when(den == 0, F.lit(0.0)).otherwise(num.cast("double") / den), 6
-    )
-    return docs.select(
+    return out.select(
         F.col(id_col),
-        frac(n_tok - F.size(F.array_distinct(toks)), n_tok).alias("dup_word_frac"),
-        frac(n_gram - F.size(F.array_distinct(grams)), n_gram).alias("dup_ngram_frac"),
-        frac(top_cnt, n_gram).alias("top_ngram_frac"),
-        frac(dup_line_chars, line_chars).alias("dup_line_frac"),
+        frac(F.col("n_tok") - F.col("n_tok_d"), F.col("n_tok")).alias("dup_word_frac"),
+        frac(F.col("n_gram") - F.col("n_distinct"), F.col("n_gram")).alias("dup_ngram_frac"),
+        frac(F.col("top_cnt"), F.col("n_gram")).alias("top_ngram_frac"),
+        frac(F.col("dup_line_chars"), F.col("line_chars")).alias("dup_line_frac"),
     )
