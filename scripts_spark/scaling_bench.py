@@ -241,15 +241,41 @@ def main() -> None:
     rev = _git_rev(repo)
     # n_rounds=0: render BENCH/BASELINE.md from the existing log only
     new_rounds = []
+    # Cooperative exclusivity: anything else heavy running on this box
+    # during a round contaminates it (a concurrent test suite during a lo
+    # pass has produced a fake eff=0.920 row). Other local work touches
+    # this lockfile while it runs; the collector waits for it to clear
+    # (stale locks >30 min are ignored — a crashed holder must not wedge
+    # the collector forever).
+    busy_lock = os.environ.get("SCALING_BUSY_LOCK", "/tmp/box_busy.lock")
     for _ in range(n_rounds):
-        while min_bw > 0:
-            probe = raw_bw_rate(N_LO)
-            if probe >= min_bw:
-                break
-            print(f"window degraded (bw {probe:.1f} < {min_bw} GB/s) — "
-                  "sleeping 120s", file=sys.stderr)
-            time.sleep(120)
-        r = compare_once(n_urls, N_LO, N_HI)
+        while True:
+            if os.path.exists(busy_lock) and \
+                    time.time() - os.path.getmtime(busy_lock) < 1800:
+                print(f"box busy ({busy_lock} held) — sleeping 60s",
+                      file=sys.stderr)
+                time.sleep(60)
+                continue
+            if min_bw > 0:
+                probe = raw_bw_rate(N_LO)
+                if probe < min_bw:
+                    print(f"window degraded (bw {probe:.1f} < {min_bw} "
+                          "GB/s) — sleeping 120s", file=sys.stderr)
+                    time.sleep(120)
+                    continue
+            break
+        # advertise the in-flight round so other local work can wait for
+        # it instead of contaminating it
+        active_marker = "/tmp/scaling_round_active"
+        with open(active_marker, "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            r = compare_once(n_urls, N_LO, N_HI)
+        finally:
+            try:
+                os.remove(active_marker)
+            except OSError:
+                pass
         r["rev"] = rev
         r["pair"] = [N_LO, N_HI]
         r["workload"] = WORKLOAD
