@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from post_processor_spark import canon, frontier  # noqa: E402
-from post_processor_spark.analytics import decontam, dedup, multimodal, sampling, similarity, text  # noqa: E402
+from post_processor_spark.analytics import (  # noqa: E402
+    clean, decontam, dedup, multimodal, packing, pii, sampling, similarity, text,
+)
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -835,6 +837,90 @@ def _q_stratified_sample(spark, sf):
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def _sfx(cond, col):
+    """Conditional suffix for deterministic content synthesis — the
+    oracle SQL mirrors it as `CASE WHEN cond THEN s ELSE '' END`."""
+    return F.when(cond, col).otherwise(F.lit(""))
+
+
+def _q_pii_redact(spark, sf):
+    """PII detect + redact (analytics.pii) under the full value-hash
+    gate. The synthetic corpus has no real PII, so the query plants
+    deterministic emails / phones / SSNs / IPs / card numbers derived
+    from doc_id — the identical concat expressions run in the oracle
+    SQL, so counts AND the redacted text are hash-compared, which pins
+    the Java-regex vs RE2 semantics of every pattern."""
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    pad4 = F.lpad(F.pmod(i, 10000).cast("string"), 4, "0")
+    synth_text = F.concat(
+        F.col("text"),
+        _sfx(i % 3 == 0, F.concat(F.lit(" contact user"), i.cast("string"),
+                                  F.lit("@mail.example.com"))),
+        _sfx(i % 4 == 0, F.concat(F.lit(" call 415-555-"), pad4)),
+        _sfx(i % 5 == 0, F.concat(F.lit(" ssn 123-45-"), pad4)),
+        _sfx(i % 6 == 0, F.concat(F.lit(" from 10.0."),
+                                  F.pmod(i, 256).cast("string"),
+                                  F.lit("."), F.pmod(i, 100).cast("string"))),
+        _sfx(i % 7 == 0, F.concat(F.lit(" card 4111-1111-1111-"), pad4)),
+    )
+    synth = d.select("doc_id", synth_text.alias("text"))
+    out = pii.redact_pii(pii.pii_stats(synth))
+    return out.select(
+        "doc_id", "n_email", "n_card", "n_ssn", "n_phone", "n_ipv4",
+        F.col("has_pii").cast("int").alias("has_pii"),
+        F.col("text").alias("redacted"),
+    ).orderBy("doc_id")
+
+
+def _q_c4_clean(spark, sf):
+    """C4-style cleaning (analytics.clean) under the full value-hash
+    gate: synthesize a multi-line page per document from its own tokens
+    (kept lines, a short line, an unterminated line, a javascript line,
+    plus lorem-ipsum / curly-brace / blocklist poison on modular
+    doc_id subsets), then run the line filters, doc gates, and the
+    badwords filter. Map-only end to end."""
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+
+    def line(start, length, punct):
+        return F.concat(F.array_join(F.slice(w, start, length), " "), F.lit(punct))
+
+    synth_text = F.concat(
+        F.concat_ws(
+            "\n",
+            line(1, 8, "."),                 # kept: 8 words + terminal punct
+            line(2, 4, "!"),                 # dropped: < 5 words
+            F.array_join(F.slice(w, 1, 6), " "),  # dropped: no terminal punct
+            F.lit("please enable javascript to view this page."),  # dropped
+            line(4, 7, "?"),                 # kept
+            line(1, 7, "."),                 # kept
+        ),
+        _sfx(i % 13 == 0, F.lit("\nthis page uses lorem ipsum filler.")),
+        _sfx(i % 17 == 0, F.lit("\nfunction f() { return 1; }")),
+        _sfx(i % 11 == 0, F.lit("\nfrobnicate the widget assembly now.")),
+    )
+    synth = d.select("doc_id", synth_text.alias("text"))
+    out = clean.badwords_filter(clean.c4_clean(synth), ["frobnicate"])
+    return out.select("doc_id", "n_kept_lines", "text").orderBy("doc_id")
+
+
+def _q_seq_pack(spark, sf):
+    """Concat-and-chunk sequence packing (analytics.packing): per-doc
+    token offsets and chunk ids in the per-source concatenated stream
+    at 256 tokens/sequence. The Spark plan is the two-phase prefix sum
+    (bounded window partitions + broadcast bucket offsets); the oracle
+    is the plain single-window SUM OVER — the value-hash gate pins
+    their equivalence."""
+    d = _t(spark, sf, "documents")
+    out = packing.pack_sequences(d, budget=256, bucket_size=128)
+    return out.select(
+        "shard", "doc_id", "n_tokens", "start_off", "end_off",
+        "first_chunk", "last_chunk", "n_chunks",
+    ).orderBy("shard", "doc_id")
+
+
 def _q_span_extract(spark, sf):
     d = _t(spark, sf, "documents")
     n = d.count()
@@ -903,6 +989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": _q_repetition,
         "q_stratified_sample": _q_stratified_sample,
         "q_line_dedup": _q_line_dedup,
+        "q_pii_redact": _q_pii_redact,
+        "q_c4_clean": _q_c4_clean,
+        "q_seq_pack": _q_seq_pack,
         "q_media_features": _q_media_features,
         # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
         "q_minhash_candidates": _q_minhash_candidates,
@@ -1376,6 +1465,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(r.text, '') AS text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY doc_id
+        """,
+        "q_pii_redact": """
+            WITH synth AS (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+                || CASE WHEN doc_id % 4 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                || CASE WHEN doc_id % 6 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b')) AS INT) AS n_card,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+                   CAST((len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       + len(regexp_extract_all(text, '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b'))
+                       + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+                       + len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
+                       + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0) AS INT) AS has_pii,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b', '<CARD>', 'g'),
+                         '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+            FROM synth
+            ORDER BY doc_id
+        """,
+        "q_c4_clean": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ),
+            synth AS (
+              SELECT doc_id,
+                array_to_string(t[1:8], ' ') || '.' || chr(10)
+                || array_to_string(t[2:5], ' ') || '!' || chr(10)
+                || array_to_string(t[1:6], ' ') || chr(10)
+                || 'please enable javascript to view this page.' || chr(10)
+                || array_to_string(t[4:10], ' ') || '?' || chr(10)
+                || array_to_string(t[1:7], ' ') || '.'
+                || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'this page uses lorem ipsum filler.' ELSE '' END
+                || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'frobnicate the widget assembly now.' ELSE '' END
+                AS text
+              FROM w
+            ),
+            kept AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(string_split(text, chr(10)), x -> trim(x)),
+                  x -> regexp_matches(x, '[.!?"]$')
+                       AND len(string_split_regex(trim(x), '\\s+')) >= 5
+                       AND NOT contains(lower(x), 'javascript')
+                ) AS k
+              FROM synth
+              WHERE NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(lower(text), '{')
+            )
+            SELECT doc_id, CAST(len(k) AS INT) AS n_kept_lines,
+                   array_to_string(k, chr(10)) AS text
+            FROM kept
+            WHERE len(k) >= 3
+              AND len(list_filter(
+                    string_split_regex(trim(lower(array_to_string(k, chr(10)))), '\\s+'),
+                    x -> x = 'frobnicate')) = 0
+            ORDER BY doc_id
+        """,
+        "q_seq_pack": """
+            WITH t AS (
+              SELECT source AS shard, doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+              FROM t
+            ),
+            f AS (
+              SELECT shard, doc_id, n_tokens,
+                     end_off - n_tokens AS start_off, end_off,
+                     (end_off - n_tokens) // 256 AS first_chunk,
+                     CASE WHEN n_tokens = 0 THEN (end_off - n_tokens) // 256
+                          ELSE (end_off - 1) // 256 END AS last_chunk
+              FROM c
+            )
+            SELECT shard, doc_id, n_tokens, start_off, end_off,
+                   first_chunk, last_chunk,
+                   last_chunk - first_chunk + 1 AS n_chunks
+            FROM f ORDER BY shard, doc_id
         """,
         "q_stratified_sample": """
             SELECT doc_id, lang
