@@ -313,6 +313,93 @@ def tld_parts(url: Column) -> Column:
     return F.struct(sub.alias("sub"), dom.alias("dom"), suf.alias("suf"))
 
 
+_DIM_CACHE: dict = {}
+
+
+def _suffix_dims(spark):
+    """The two big explicit-suffix sets as RDD-backed single-column
+    DataFrames (broadcast-join dimensions), cached per SparkContext.
+
+    Why RDD-backed and not createDataFrame(list)/isin(list): both of
+    those embed every suffix as a Literal NODE in the logical plan, and
+    a logical plan is a TREE — every downstream branch that references
+    the frame carries its own copy of the subtree. The citations
+    pipeline references the tld struct from nine matcher branches, so
+    the analyzed plan held ~200 copies of the ~1,700-literal suffix
+    sets (23 MB plan string, 61 s optimizer walk, 20 MiB task
+    binaries). A LogicalRDD leaf holds an RDD *reference*; copies cost
+    bytes, and the suffix strings live once, as data — which is how a
+    1,700-row dimension should travel anyway (broadcast join), per the
+    same rule as any other small dim."""
+    sc = spark.sparkContext
+    if _DIM_CACHE.get("app") != sc.applicationId:
+        _DIM_CACHE.clear()
+        _DIM_CACHE["app"] = sc.applicationId
+        _DIM_CACHE["s2"] = spark.createDataFrame(
+            sc.parallelize([(s,) for s in _TWO_LEVEL_SUFFIXES], 1), "_sfx2: string"
+        )
+        _DIM_CACHE["s3"] = spark.createDataFrame(
+            sc.parallelize([(s,) for s in _THREE_LEVEL_SUFFIXES], 1), "_sfx3: string"
+        )
+    return _DIM_CACHE["s2"], _DIM_CACHE["s3"]
+
+
+def attach_tld_parts(df, src_col: str, out_col: str):
+    """df + `out_col` = struct(sub, dom, suf) of url_host(src_col) —
+    semantically identical to tld_parts(), but suffix membership is
+    resolved by two broadcast LEFT joins against the RDD-backed suffix
+    dimensions instead of giant In-lists (see _suffix_dims for why; the
+    golden citations pipeline went from ~190 s analysis+planning /
+    23 MB plan to seconds). The joins are null-safe by construction:
+    an unmatched (or null) key leaves the marker column null, and
+    isNotNull() then behaves exactly like the expression version's
+    isin() inside when() — null and false fall through identically.
+    Use this in pipelines that fan the struct out to many branches;
+    tld_parts() stays the right call in single-expression contexts
+    (one instance in the plan ≈ the same cost either way)."""
+    s2d, s3d = _suffix_dims(df.sparkSession)
+    host = url_host(F.col(src_col))
+    df = df.withColumn("_tp_h", host).withColumn(
+        "_tp_lb", _host_labels(F.col("_tp_h"))
+    )
+    n = F.size(F.col("_tp_lb"))
+    df = (
+        df.withColumn(
+            "_tp_l2",
+            F.concat_ws(".", F.slice(F.col("_tp_lb"), F.greatest(n - 1, F.lit(1)), 2)),
+        )
+        .withColumn(
+            "_tp_l3",
+            F.concat_ws(".", F.slice(F.col("_tp_lb"), F.greatest(n - 2, F.lit(1)), 3)),
+        )
+        .join(F.broadcast(s2d), F.col("_tp_l2") == F.col("_sfx2"), "left")
+        .join(F.broadcast(s3d), F.col("_tp_l3") == F.col("_sfx3"), "left")
+    )
+    labels = F.col("_tp_lb")
+    n = F.size(labels)
+    tld = F.element_at(labels, -1)
+    in_wild2 = F.col("_tp_l2").isin(_WILDCARD_SECOND)
+    in_exc3 = F.col("_tp_l3").isin(_WILDCARD_SECOND_EXCEPTIONS)
+    is_three = (n >= 3) & (F.col("_sfx3").isNotNull() | (in_wild2 & ~in_exc3))
+    is_two = (n >= 3) & (
+        F.col("_sfx2").isNotNull()
+        | (tld.isin(_WILDCARD_TLDS) & ~F.col("_tp_l2").isin(_WILDCARD_EXCEPTIONS))
+        | (in_wild2 & in_exc3)
+    )
+    slen = F.when(is_three, F.lit(3)).when(is_two, F.lit(2)).otherwise(F.lit(1))
+    df = df.withColumn("_tp_slen", slen)
+    slen = F.col("_tp_slen")
+    suf = F.concat_ws(".", F.slice(labels, F.greatest(n - slen + 1, F.lit(1)), slen))
+    dom = F.when(n > slen, F.element_at(labels, -(slen + 1))).otherwise(F.lit(""))
+    nsub = F.greatest(n - slen - 1, F.lit(0))
+    sub = F.when(nsub > 0, F.concat_ws(".", F.slice(labels, 1, nsub))).otherwise(
+        F.lit("")
+    )
+    return df.withColumn(
+        out_col, F.struct(sub.alias("sub"), dom.alias("dom"), suf.alias("suf"))
+    ).drop("_tp_h", "_tp_lb", "_tp_l2", "_tp_l3", "_tp_slen", "_sfx2", "_sfx3")
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical form: lower scheme+host, strip fragment, strip default
     port, drop trailing '?' ; path/query preserved byte-for-byte. The

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .canon import tld_parts, url_host
+from .canon import attach_tld_parts, url_host
 
 _EMPTY_STR_ARR = "array<string>"
 
@@ -48,10 +48,17 @@ def prepare_scope(scope: DataFrame) -> dict[str, DataFrame]:
         "handles_norm",
         F.transform(F.coalesce("twitter_handles", F.array().cast(_EMPTY_STR_ARR)), _handle_norm),
     )
-    scope_http = (
-        scope.filter(F.col("source").contains("http"))
-        .withColumn("scope_domain", url_host(F.col("source")))
-        .withColumn("scope_tld", tld_parts(F.col("source")))
+    # tld structs resolve suffix membership via broadcast-join dims
+    # (canon.attach_tld_parts): nine matcher branches reference them, and
+    # carrying the ~1,700-literal In-lists per branch copy blew
+    # analysis+planning to ~190 s on the golden pipeline (23 MB plan,
+    # 20 MiB task binaries)
+    scope_http = attach_tld_parts(
+        scope.filter(F.col("source").contains("http")).withColumn(
+            "scope_domain", url_host(F.col("source"))
+        ),
+        "source",
+        "scope_tld",
     )
     # anchor matching accepts (www.)?scope_domain (processor_domain.py:51-52
     # pattern prefix 'http://www.|http://|https://www.|https://')
@@ -94,11 +101,14 @@ def _doc_side(documents: DataFrame, docs_meta: DataFrame, persist: bool = False)
         if "html_content" in docs_meta.columns
         else F.lit("")
     )
-    meta = docs_meta.select(
-        "doc_id", "url", "doc_type", "domain", "seq",
-        tld_parts(F.col("domain")).alias("doc_tld"),
-        _handle_norm(F.col("domain")).alias("doc_handle_norm"),
-        html_col.alias("_html"),
+    meta = attach_tld_parts(
+        docs_meta.select(
+            "doc_id", "url", "doc_type", "domain", "seq",
+            _handle_norm(F.col("domain")).alias("doc_handle_norm"),
+            html_col.alias("_html"),
+        ),
+        "domain",
+        "doc_tld",
     )
     d = documents.join(meta, "doc_id")
     if persist:
