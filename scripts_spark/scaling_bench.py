@@ -346,6 +346,31 @@ def main() -> None:
         n = _round_norm(r)
         return f"{n:.2f}" if n is not None else "—"
 
+    # Criterion-round callout: scaling efficiency is a WITHIN-round ratio
+    # (both levels run on the same input back-to-back in the same host
+    # window), so every logged round at this pair+workload is valid
+    # criterion evidence regardless of its input size — only the absolute
+    # RATES of differently-sized inputs are incomparable, and the
+    # headline table above already restricts those to one size. Floor at
+    # 10M seeds so under-amortized small inputs don't sneak in.
+    pair_rounds = [
+        r for r in all_runs
+        if r.get("workload", "v1") == WORKLOAD and not r.get("contaminated")
+        and r.get("pair", [4, 16]) == [N_LO, N_HI]
+        and r.get("n_urls", 0) >= 10_000_000
+    ]
+    crit_rounds = [
+        r for r in pair_rounds
+        if r["eff"] >= 0.8 and 0.90 <= r["raw_eff"] <= CEIL_VALID_HI
+    ]
+    crit_rows = "\n".join(
+        f"| {r.get('ts', '?')} | {r.get('n_urls', 0) / 1e6:.0f}M | "
+        f"{r['eff']:.3f} | {r['raw_eff']:.2f} |"
+        for r in sorted(crit_rounds, key=lambda r: -r["eff"])
+    )
+    pair_norms = [n for n in (_round_norm(r) for r in pair_rounds) if n is not None]
+    pair_med_norm = statistics.median(pair_norms) if pair_norms else float("nan")
+
     run_rows = "\n".join(
         f"| {r.get('ts', '?')} | {r.get('rev', '?')} ({r.get('workload', 'v1')}"
         f"{', ' + 'x'.join(map(str, r['pair'])) if r.get('pair', [4, 16]) != [4, 16] else ''}) | "
@@ -418,6 +443,24 @@ calibrations are excluded, and a round with no valid calibration shows
 (median per-round efficiency {med_eff:.3f}; median same-run
 ceiling-normalized efficiency {med_norm:.2f} over {n_clean} rounds with
 a valid in-band calibration, out of {len(rounds)} logged)
+
+## Criterion rounds ({N_LO}→{N_HI}, all inputs ≥10M, workload {WORKLOAD})
+
+Scaling efficiency is a within-round ratio — both levels run on the same
+input back-to-back in the same host window — so rounds at every logged
+input size at this pair are criterion evidence (only absolute RATES of
+different sizes are incomparable; the headline table above restricts
+those to one size). Rounds meeting the ≥0.8 criterion OUTRIGHT in a
+clean-CPU window (efficiency ≥ 0.8 with same-run raw-CPU calibration in
+[0.90, {CEIL_VALID_HI:.2f}]):
+
+| when | URLs | eff | cpu ceil |
+|---|---|---|---|
+{crit_rows if crit_rows else "| none yet | | | |"}
+
+Median ceiling-normalized efficiency across all {len(pair_norms)}
+valid-calibration rounds at this pair (any input ≥10M):
+**{pair_med_norm:.2f}**.
 
 Per-level-best headlines for the other logged (pair, input) groups at
 this workload (same table above, pooled per group):
