@@ -837,6 +837,62 @@ def _q_stratified_sample(spark, sf):
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def _q_text_profile(spark, sf):
+    """The full text-analysis surface in one pass (analytics.text.profile):
+    whitespace token count, BPE-ish piece count, stopword/punct ratios,
+    composite quality score, language-ID, md5 fingerprint — all JVM
+    expressions, zero shuffle (map-only over the corpus; the sort is the
+    oracle-comparison convention). Every value is reproduced in ANSI SQL:
+    the lookaround piece split (which RE2 can't express) is re-stated as
+    the exact identity |alnum runs| + |non-alnum chars| — a both-sides
+    boundary split yields exactly one piece per maximal alphanumeric run
+    plus one per non-alphanumeric character."""
+    d = _t(spark, sf, "documents")
+    prof = text.profile(d)
+    return prof.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        "stop_ratio",
+        "punct_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    ).orderBy("doc_id")
+
+
+def _q_contamination_report(spark, sf):
+    """Per-benchmark-document contamination audit
+    (decontam.contamination_report): for each eval doc, how many corpus
+    docs and distinct 4-grams leak it. Same md5 gram contract and
+    broadcast-bench shape as q_decontaminate — only hit rows shuffle."""
+    d = _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    out = decontam.contamination_report(corpus, bench, n=4, hash="md5")
+    return out.select(
+        F.col("bench_id").cast("long").alias("bench_id"),
+        F.col("n_docs_hit").cast("long").alias("n_docs_hit"),
+        F.col("n_grams_hit").cast("long").alias("n_grams_hit"),
+    ).orderBy("bench_id")
+
+
+def _q_holdout_split(spark, sf):
+    """Stable train/eval holdout (sampling.train_eval_split): a row's
+    side is md5(doc_id ‖ salt)-derived, so membership never changes as
+    the corpus grows and DuckDB recomputes the exact assignment.
+    Map-only filters; the union is two passes over the same scan."""
+    d = _t(spark, sf, "documents")
+    train, ev = sampling.train_eval_split(
+        d, eval_fraction=0.05, key_col="doc_id", salt="split"
+    )
+    return (
+        train.select("doc_id", F.lit("train").alias("side"))
+        .unionByName(ev.select("doc_id", F.lit("eval").alias("side")))
+        .orderBy("doc_id")
+    )
+
+
 def _sfx(cond, col):
     """Conditional suffix for deterministic content synthesis — the
     oracle SQL mirrors it as `CASE WHEN cond THEN s ELSE '' END`."""
@@ -989,6 +1045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": _q_repetition,
         "q_stratified_sample": _q_stratified_sample,
         "q_line_dedup": _q_line_dedup,
+        "q_text_profile": _q_text_profile,
+        "q_contamination_report": _q_contamination_report,
+        "q_holdout_split": _q_holdout_split,
         "q_pii_redact": _q_pii_redact,
         "q_c4_clean": _q_c4_clean,
         "q_seq_pack": _q_seq_pack,
@@ -1574,6 +1633,73 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
                               WHEN 'zh' THEN 0.2 ELSE 0.1 END
             ORDER BY doc_id
+        """,
+        "q_text_profile": f"""
+            WITH m AS (
+              SELECT doc_id, text, trim(text) AS tt, lower(trim(text)) AS lt
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CASE WHEN tt = '' THEN 0
+                     ELSE len(regexp_split_to_array(tt, '\\s+')) END AS n_tokens,
+                len(regexp_extract_all(tt, '[a-zA-Z0-9]+'))
+                  + length(regexp_replace(tt, '[a-zA-Z0-9]', '', 'g')) AS n_pieces,
+                CASE WHEN tt = '' THEN 0.0
+                     ELSE CAST(len(list_filter(regexp_split_to_array(lt, '\\s+'),
+                               x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+                          / len(regexp_split_to_array(lt, '\\s+')) END AS sw,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(text,
+                               '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                          / length(text) END AS pr,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(text,
+                               '[^a-zA-Z\\s]', '', 'g')) AS DOUBLE)
+                          / length(text) END AS ar,
+                md5(regexp_replace(lt, '\\s+', ' ', 'g')) AS fingerprint
+              FROM m
+            )
+            SELECT doc_id, n_tokens, n_pieces,
+                   round(sw, 4) AS stop_ratio,
+                   round(pr, 4) AS punct_ratio,
+                   round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                          + (1.0 - least(abs(sw - 0.4) * 2.5, 1.0))
+                          + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 4) AS quality,
+                   CASE WHEN sw >= 0.08 AND ar >= 0.6
+                        THEN 'en' ELSE 'other' END AS lang_pred,
+                   fingerprint
+            FROM s ORDER BY doc_id
+        """,
+        "q_contamination_report": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                     ) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(
+                       md5(array_to_string(t[g.i + 1 : g.i + 4], ' ')), 1, 8
+                     )) AS BIGINT) AS h
+              FROM toks, unnest(generate_series(0, greatest(len(t) - 4, 0))) AS g(i)
+            )
+            SELECT b.doc_id AS bench_id,
+                   count(DISTINCT c.doc_id) AS n_docs_hit,
+                   count(DISTINCT c.h) AS n_grams_hit
+            FROM grams c JOIN grams b USING (h)
+            WHERE c.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+            GROUP BY b.doc_id
+            ORDER BY bench_id
+        """,
+        "q_holdout_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(
+                            md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8
+                        )) AS BIGINT) / 4294967296.0 < 0.05
+                        THEN 'eval' ELSE 'train' END AS side
+            FROM documents ORDER BY doc_id
         """,
         "q_decontaminate": """
             WITH toks AS (
