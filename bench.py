@@ -44,6 +44,9 @@ HEADLINE_QUERIES = [
     "q_repetition",
     "q_stratified_sample",
     "q_line_dedup",
+    "q_text_profile",
+    "q_contamination_report",
+    "q_holdout_split",
     "q_frontier_schedule",
     "q_seen_filter",
 ]
@@ -225,17 +228,30 @@ def main() -> None:
     final_times = {n: round(min(m), 3) for n, m in times.items()}
 
     # steady-state throughput: warm codegen/python workers first, then
-    # best-of-2 (this sandbox VM's deliverable perf is noisy; host noise
-    # only subtracts). If the first rep landed in a badly degraded host
-    # window (>3 min for 10M), skip the second — it can only cost wall
-    # time, never raise the best-of.
+    # max-of-k reps (host noise only subtracts, so max converges on the
+    # plan's true rate from below). A rep that beats the degraded-window
+    # cutoff (scales with input: 180 s per 10M) is a credible clean-ish
+    # measurement — stop at 2 reps once one exists. Reps that MISS the
+    # cutoff are exactly when another rep can help (a later rep may
+    # escape the window), so keep going, bounded by a total wall budget
+    # of 4x the cutoff and 3 reps — the earlier logic skipped the retry
+    # precisely in the degraded case, locking the headline to whatever
+    # window the single rep landed in.
     frontier_throughput(spark, 100_000)
-    t0 = time.time()
-    rate, n_sched = frontier_throughput(spark, FRONTIER_N_URLS)
-    # degraded-window cutoff scales with the input (180 s per 10M)
-    if time.time() - t0 < 18e-6 * FRONTIER_N_URLS:
-        rate2, _ = frontier_throughput(spark, FRONTIER_N_URLS)
-        rate = max(rate, rate2)
+    cutoff = 18e-6 * FRONTIER_N_URLS
+    t_start = time.time()
+    rates = []
+    any_clean = False
+    while True:
+        t0 = time.time()
+        r, n_sched = frontier_throughput(spark, FRONTIER_N_URLS)
+        rates.append(r)
+        any_clean = any_clean or (time.time() - t0 < cutoff)
+        if len(rates) >= 2 and any_clean:
+            break
+        if len(rates) >= 3 or time.time() - t_start > 4 * cutoff:
+            break
+    rate = max(rates)
     final_times["frontier_schedule_pass"] = round(
         FRONTIER_N_URLS and n_sched / max(rate, 1e-9), 3
     )
