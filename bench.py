@@ -47,6 +47,9 @@ HEADLINE_QUERIES = [
     "q_text_profile",
     "q_contamination_report",
     "q_holdout_split",
+    "q_pii_redact",
+    "q_c4_clean",
+    "q_seq_pack",
     "q_frontier_schedule",
     "q_seen_filter",
 ]
