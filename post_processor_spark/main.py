@@ -20,9 +20,13 @@ import argparse
 import json
 import sys
 
+# Imports below are absolute (not `from . import`): spark-submit executes
+# this file as a top-level script with no parent package; the package
+# itself resolves from the --py-files zip (or the repo root).
+
 
 def _spark(args):
-    from .session import get_spark
+    from post_processor_spark.session import get_spark
 
     return get_spark(cores=args.cores, app_name=f"pps-{args.cmd}")
 
@@ -30,8 +34,8 @@ def _spark(args):
 def cmd_crawl(args) -> None:
     from pyspark.sql import functions as F
 
-    from . import fixtures, frontier
-    from .state import SnapshotStore
+    from post_processor_spark import fixtures, frontier
+    from post_processor_spark.state import SnapshotStore
 
     spark = _spark(args)
     docs = fixtures.synthetic_documents(
@@ -57,8 +61,11 @@ def cmd_crawl(args) -> None:
 def cmd_analyze(args) -> None:
     from pyspark.sql import functions as F
 
-    from . import citations, fixtures, ingest, sources
+    from post_processor_spark import citations, fixtures, ingest, sources
 
+    if not args.golden and not args.data:
+        print("analyze: pass --golden or --data DIR", file=sys.stderr)
+        sys.exit(2)
     spark = _spark(args)
     if args.golden:
         dom_raw = fixtures.golden_domain_raw(spark)
@@ -82,7 +89,7 @@ def cmd_analyze(args) -> None:
 
 
 def cmd_ingest(args) -> None:
-    from . import ingest, sources
+    from post_processor_spark import ingest, sources
 
     spark = _spark(args)
     from pyspark.sql import functions as F
