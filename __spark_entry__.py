@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from post_processor_spark import canon, frontier  # noqa: E402
 from post_processor_spark.analytics import (  # noqa: E402
-    clean, decontam, dedup, multimodal, packing, pii, sampling, similarity, text,
+    clean, decontam, dedup, graph, multimodal, packing, pii, sampling,
+    similarity, text,
 )
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -486,6 +487,29 @@ def _q_interest_ranking(spark, sf):
         )
     )
     return citations.interest_ranking(out).limit(30)
+
+
+def _q_pagerank(spark, sf):
+    """PageRank authority over the deterministic referral edge graph
+    (same edge rule as q_referral_edges / q_interest_ranking): 3 power
+    iterations, damping 0.85, dangling mass redistributed uniformly.
+    The scale-grade version of the reference's in-degree interest
+    ranking (processor.py:81-97); oracle = the same three iterations
+    unrolled as chained DuckDB CTEs. Ranks rounded to 9 decimals in
+    both engines (values are exact-double reproducible; rounding only
+    absorbs float sum-order noise)."""
+    d = _t(spark, sf, "documents")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(_seq1((F.col("doc_id") % 4).cast("int"))).alias("k"),
+    ).select("src", ((F.col("src") * 7 + F.col("k")) % n).alias("dst"))
+    nodes = d.select(F.col("doc_id").alias("id"))
+    ranks = graph.pagerank(nodes, edges, iterations=3, damping=0.85)
+    return ranks.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.col("rank"), 9).alias("pagerank"),
+    ).orderBy("doc_id")
 
 
 def _q_url_canon(spark, sf):
@@ -1028,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_clusters": _q_neardup_clusters,
         "q_neardup_keep": _q_neardup_keep,
         "q_interest_ranking": _q_interest_ranking,
+        "q_pagerank": _q_pagerank,
         "q_record_dedup_desc": _q_record_dedup_desc,
         "q_scope_gate": _q_scope_gate,
         # frontier core (oracle-checked: results are exact windows/anti-joins)
@@ -1069,6 +1094,45 @@ WITH edges AS (
        LATERAL (SELECT unnest(generate_series(1, CAST(d.doc_id % 4 AS BIGINT))) AS k) k
 )
 """
+
+
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    """q_pagerank oracle: the same power iterations unrolled as chained
+    CTEs. Arithmetic mirrors graph.pagerank's double ops exactly —
+    1.0::DOUBLE casts keep DuckDB out of DECIMAL math, and the
+    contribution is r * (1.0/c) (two roundings), not r/c (one), because
+    Spark multiplies the precomputed share column; sum-order noise is
+    absorbed by the shared round(..., 9)."""
+    parts = [
+        _EDGES_CTE.rstrip(),
+        ", nn AS (SELECT count(*) AS n FROM documents)",
+        ", outdeg AS (SELECT src, count(*) AS c FROM edges GROUP BY src)",
+        ", r0 AS (SELECT doc_id AS id, 1.0::DOUBLE / (SELECT n FROM nn) AS r"
+        "  FROM documents)",
+    ]
+    prev = "r0"
+    for i in range(iterations):
+        nxt = f"r{i + 1}"
+        parts.append(f"""
+            , d{i} AS (SELECT coalesce(sum({prev}.r), 0) AS dm
+                       FROM {prev} LEFT JOIN outdeg o ON o.src = {prev}.id
+                       WHERE o.src IS NULL)
+            , c{i} AS (SELECT e.dst AS id,
+                              sum({prev}.r * (1.0::DOUBLE / o.c)) AS contrib
+                       FROM edges e
+                       JOIN {prev} ON {prev}.id = e.src
+                       JOIN outdeg o ON o.src = e.src
+                       GROUP BY e.dst)
+            , {nxt} AS (SELECT b.id,
+                           (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                           + 0.85::DOUBLE * (coalesce(c{i}.contrib, 0)
+                               + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS r
+                        FROM {prev} b LEFT JOIN c{i} ON c{i}.id = b.id)""")
+        prev = nxt
+    parts.append(
+        f"SELECT id AS doc_id, round(r, 9) AS pagerank FROM {prev} ORDER BY doc_id"
+    )
+    return "\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1352,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
               ON d.doc_id = a.dst
             ORDER BY number_of_referrals DESC, url LIMIT 30
         """,
+        "q_pagerank": _pagerank_oracle_sql(3),
         "q_frontier_schedule": """
             WITH seeds AS (
               SELECT 'https://host'

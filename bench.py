@@ -50,6 +50,7 @@ HEADLINE_QUERIES = [
     "q_pii_redact",
     "q_c4_clean",
     "q_seq_pack",
+    "q_pagerank",
     "q_frontier_schedule",
     "q_seen_filter",
 ]

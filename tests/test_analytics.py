@@ -404,3 +404,47 @@ def test_neardup_keep(spark):
     clusters = dedup.neardup_clusters(pairs)
     kept = sorted(r["doc_id"] for r in dedup.neardup_keep(docs, clusters).collect())
     assert kept == [0, 1, 4, 5, 7]
+
+
+def test_pagerank_matches_python_oracle(spark):
+    """Sequential Python power iteration (same teleport + dangling
+    semantics) over a small digraph with parallel edges, a dangling node,
+    and an isolated node — Spark ranks match within double-sum noise and
+    sum to 1 every configuration."""
+    from post_processor_spark.analytics import graph
+
+    node_ids = list(range(7))  # 6 is isolated (no edges at all)
+    edge_list = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2),
+        (4, 0), (4, 1), (4, 1),  # parallel edge 4->1 counts twice
+        # 5 is dangling (in-edges only)
+        (3, 5),
+    ]
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    def py_pagerank(ids, es, iterations, d):
+        n = len(ids)
+        out = {}
+        for s, t in es:
+            out.setdefault(s, []).append(t)
+        r = {v: 1.0 / n for v in ids}
+        for _ in range(iterations):
+            dm = sum(r[v] for v in ids if v not in out)
+            nxt = {v: (1 - d) / n + d * dm / n for v in ids}
+            for s, ts in out.items():
+                for t in ts:
+                    nxt[t] += d * r[s] / len(ts)
+            r = nxt
+        return r
+
+    for iterations in (1, 3):
+        got = {
+            r["id"]: r["rank"]
+            for r in graph.pagerank(nodes, edges, iterations=iterations).collect()
+        }
+        want = py_pagerank(node_ids, edge_list, iterations, 0.85)
+        assert set(got) == set(want)
+        for v in node_ids:
+            assert abs(got[v] - want[v]) < 1e-12, (iterations, v, got[v], want[v])
+        assert abs(sum(got.values()) - 1.0) < 1e-9
