@@ -468,6 +468,23 @@ def _q_neardup_keep(spark, sf):
     return kept.select(F.col("vec_id").cast("long").alias("vec_id")).orderBy("vec_id")
 
 
+def _q_neardup_keep_best(spark, sf):
+    """Preference-weighted dedup decision: same clusters as
+    q_neardup_keep, but the representative is the member with the
+    highest deterministic quality score (vec_id*37 % 11; id asc ties) —
+    dedup.neardup_keep_best. Oracle picks the same representative with
+    an ordered-first aggregate over the recursive-CTE clusters."""
+    e = _t(spark, sf, "embeddings")
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pairs = dedup.embedding_neardup_pairs(dbl, threshold=0.35)
+    clusters = dedup.neardup_clusters(pairs)
+    docs = e.select("vec_id", ((F.col("vec_id") * 37) % 11).alias("quality"))
+    kept = dedup.neardup_keep_best(docs, clusters, prefer="quality", id_col="vec_id")
+    return kept.select(F.col("vec_id").cast("long").alias("vec_id")).orderBy("vec_id")
+
+
 def _q_interest_ranking(spark, sf):
     """A5: hit-count ranking of the referral output (archived
     processor.py:943) — docs ordered by referral count desc, url asc."""
@@ -1051,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": _q_embedding_neardup,
         "q_neardup_clusters": _q_neardup_clusters,
         "q_neardup_keep": _q_neardup_keep,
+        "q_neardup_keep_best": _q_neardup_keep_best,
         "q_interest_ranking": _q_interest_ranking,
         "q_pagerank": _q_pagerank,
         "q_record_dedup_desc": _q_record_dedup_desc,
@@ -1406,6 +1424,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(e.vec_id AS BIGINT) AS vec_id FROM embeddings e
             WHERE e.vec_id NOT IN
                   (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+            ORDER BY vec_id
+        """,
+        "q_neardup_keep_best": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(u, v) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+            ), clusters AS (
+                SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+            ), best AS (
+                SELECT cluster_id,
+                       first(doc_id ORDER BY (doc_id * 37) % 11 DESC, doc_id ASC)
+                         AS keep_id
+                FROM clusters GROUP BY cluster_id
+            )
+            SELECT CAST(e.vec_id AS BIGINT) AS vec_id FROM embeddings e
+            WHERE e.vec_id NOT IN
+                  (SELECT c.doc_id FROM clusters c
+                   JOIN best b USING (cluster_id)
+                   WHERE c.doc_id <> b.keep_id)
             ORDER BY vec_id
         """,
         "q_interest_ranking": _EDGES_CTE + """

@@ -528,6 +528,42 @@ def neardup_keep(
     )
 
 
+def neardup_keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    prefer: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """neardup_keep, but the representative per cluster is the member
+    with the HIGHEST `prefer` column value (a numeric score:
+    text.quality_score, token count, graph.pagerank rank), id ascending
+    on ties — what a real training-data pipeline wants: near-dup groups
+    keep their best copy, not their first.
+
+    Plan shape: the clusters frame (duplicate fraction of the corpus,
+    never the whole corpus) joins docs once to pick up the preference
+    column, then ONE min_by hash aggregate per cluster (struct(-pref,
+    id) ordering encodes "pref desc, id asc" — map-side combined, no
+    window sort), and one anti-join back. Docs never self-join; both
+    joins broadcast when the duplicate set is small. Reference analog:
+    none (same builder-spec extension family as neardup_clusters)."""
+    member_pref = docs.select(
+        F.col(id_col).alias("_m_id"), F.col(prefer).cast("double").alias("_pref")
+    )
+    members = clusters.join(
+        member_pref, clusters.doc_id == member_pref._m_id
+    ).select("_m_id", "cluster_id", "_pref")
+    best = members.groupBy("cluster_id").agg(
+        F.min_by("_m_id", F.struct((-F.col("_pref")).alias("p"), F.col("_m_id").alias("i"))).alias("_keep_id")
+    )
+    drop = (
+        clusters.join(best, "cluster_id")
+        .filter(F.col("doc_id") != F.col("_keep_id"))
+        .select(F.col("doc_id").alias("_drop_id"))
+    )
+    return docs.join(drop, docs[id_col] == F.col("_drop_id"), "left_anti")
+
+
 def _unit_vectors(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(_id, _unit) — pre-normalize ONCE per vector; computing cosine per
     pair would re-derive both norms n^2 times."""

@@ -448,3 +448,27 @@ def test_pagerank_matches_python_oracle(spark):
         for v in node_ids:
             assert abs(got[v] - want[v]) < 1e-12, (iterations, v, got[v], want[v])
         assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_neardup_keep_best_prefers_high_score(spark):
+    """keep_best keeps the highest-prefer member per cluster (min id on
+    ties) and every unclustered doc; same row set size as neardup_keep."""
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.5)],
+        "doc_id long, quality double",
+    )
+    # clusters: {1,2,3} (cluster_id 1), {4} unclustered, {5} unclustered
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.neardup_keep_best(docs, clusters, prefer="quality").collect()
+    )
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> min id 2 wins; 4,5 unclustered
+    assert kept == [2, 4, 5]
+    # min-id variant keeps 1 instead
+    kept_min = sorted(
+        r["doc_id"] for r in dedup.neardup_keep(docs, clusters).collect()
+    )
+    assert kept_min == [1, 4, 5]
