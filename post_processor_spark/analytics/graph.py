@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "rank_priority"]
 
 
 def pagerank(
@@ -104,3 +104,34 @@ def pagerank(
         )
     shares.unpersist()
     return ranks
+
+
+def rank_priority(
+    ranks: DataFrame,
+    n_nodes: int | None = None,
+    base: int = 5,
+    lo: int = 0,
+    hi: int = 9,
+    id_col: str = "id",
+) -> DataFrame:
+    """Authority feedback into the crawl scheduler: map PageRank scores
+    to frontier scheduling classes (frontier.ORDER_COLS sorts priority
+    ASCENDING — lower schedules earlier; DEFAULT_PRIORITY = 5 is `base`).
+
+    priority = clamp(base - floor(log2(rank * N)), lo, hi): a node at
+    the uniform baseline rank 1/N keeps `base`; every doubling of
+    authority moves it one class earlier. Assignment is by VALUE, not by
+    quantile — an ntile/percent_rank assignment would funnel the whole
+    rank frame through one global sort task, while this is a map-only
+    expression with no shuffle at any scale, and is reproducible
+    independent of partitioning (crawl-ordering determinism,
+    BASELINE.json north_rule). Returns (id_col, priority int).
+    """
+    if n_nodes is None:
+        n_nodes = ranks.count()
+    ratio = F.col("rank") * F.lit(float(n_nodes))
+    cls = F.lit(base) - F.floor(F.log2(ratio))
+    return ranks.select(
+        F.col(id_col),
+        F.least(F.lit(hi), F.greatest(F.lit(lo), cls)).cast("int").alias("priority"),
+    )

@@ -472,3 +472,44 @@ def test_neardup_keep_best_prefers_high_score(spark):
         r["doc_id"] for r in dedup.neardup_keep(docs, clusters).collect()
     )
     assert kept_min == [1, 4, 5]
+
+
+def test_rank_priority_feedback(spark):
+    """rank_priority maps authority to frontier scheduling classes
+    (value-based, partitioning-independent): uniform rank keeps the
+    base class, each authority doubling moves one class earlier, and
+    the output drives frontier scheduling order within a host."""
+    import math
+
+    from post_processor_spark import frontier
+    from post_processor_spark.analytics import graph
+
+    n = 8
+    ranks = spark.createDataFrame(
+        [(i, [1.0 / n, 2.0 / n, 4.0 / n, 0.25 / n, 64.0 / n, 1.0 / n, 1.0 / n, 1.0 / n][i])
+         for i in range(n)],
+        "id long, rank double",
+    )
+    got = {r["id"]: r["priority"] for r in graph.rank_priority(ranks).collect()}
+    for i, rank in [(0, 1.0), (1, 2.0), (2, 4.0), (3, 0.25), (4, 64.0)]:
+        want = min(9, max(0, 5 - math.floor(math.log2(rank))))
+        assert got[i] == want, (i, got[i], want)
+    assert got[0] == 5 and got[1] == 4 and got[2] == 3 and got[3] == 7 and got[4] == 0
+
+    # end-to-end: priorities from rank_priority reorder scheduling within
+    # a host under a tight politeness budget (lower class first).
+    seeds = ranks.join(
+        graph.rank_priority(ranks), "id"
+    ).select(
+        F.concat(F.lit("https://feedback.example.com/doc/"), F.col("id")).alias("url"),
+        "priority",
+        F.col("id").alias("seq"),
+    )
+    cand = frontier.seeds_to_frontier(seeds)
+    sched = frontier.politeness_schedule(
+        cand.drop("status", "not_before", "sched_gen"),
+        generation=1, budget_per_host=2, crawl_delay_sec=0, salt_parts=4,
+    ).filter(F.col("status") == "scheduled")
+    picked = sorted(r["url"].rsplit("/", 1)[1] for r in sched.collect())
+    # budget 2 on one host: doc 4 (class 0) and doc 2 (class 3) win
+    assert picked == ["2", "4"]
