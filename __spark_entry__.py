@@ -237,6 +237,30 @@ def _q_first_event_per_user(spark, sf):
     )
 
 
+def _q_asof_join(spark, sf):
+    """As-of temporal join (analytics/temporal.py): each event picks up
+    the customer's most recent order at-or-before the event time. The
+    right side is deduped to one row per (custkey, orderdate) first so
+    the result is deterministic (ties broken by max orderkey)."""
+    from post_processor_spark.analytics import temporal
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
+        )
+    )
+    return temporal.asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["last_orderkey", "last_totalprice"],
+    ).select("event_id", "user_id", "last_orderkey", "last_totalprice")
+
+
 def _q_sessionize(spark, sf):
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1045,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_by_status": _q_union_by_status,
         "q_topk_per_group": _q_topk_per_group,
         "q_first_event_per_user": _q_first_event_per_user,
+        "q_asof_join": _q_asof_join,
         "q_sessionize": _q_sessionize,
         "q_event_minute": _q_event_minute,
         "q_json_extract": _q_json_extract,
@@ -1223,6 +1248,17 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "q_asof_join": """
+            WITH o1 AS (
+              SELECT o_custkey, o_orderdate,
+                     max(o_orderkey) AS last_orderkey,
+                     arg_max(o_totalprice, o_orderkey) AS last_totalprice
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, o1.last_orderkey, o1.last_totalprice
+            FROM events e ASOF LEFT JOIN o1
+              ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
         """,
         "q_sessionize": """
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
