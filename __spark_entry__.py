@@ -1042,6 +1042,23 @@ def _q_seq_pack(spark, sf):
     ).orderBy("shard", "doc_id")
 
 
+def _q_token_budget(spark, sf):
+    """Per-source token-budget cap (analytics.packing.token_budget_cap):
+    keep each source's best-quality docs until 600 tokens are spent,
+    concat-and-stop semantics. Spark plan is the hot-partition-free
+    two-phase prefix sum bucketed on quantized score; the oracle is the
+    plain single-window running total — the value-hash gate pins the
+    equivalence."""
+    from post_processor_spark.analytics import text as text_mod
+
+    d = _t(spark, sf, "documents").withColumn(
+        "score", text_mod.quality_score(F.col("text"))
+    )
+    return packing.token_budget_cap(
+        d, budget=600, score_col="score", group_col="source"
+    ).orderBy("source", "doc_id")
+
+
 def _q_span_extract(spark, sf):
     d = _t(spark, sf, "documents")
     n = d.count()
@@ -1119,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": _q_pii_redact,
         "q_c4_clean": _q_c4_clean,
         "q_seq_pack": _q_seq_pack,
+        "q_token_budget": _q_token_budget,
         "q_media_features": _q_media_features,
         # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
         "q_minhash_candidates": _q_minhash_candidates,
@@ -1772,6 +1790,39 @@ def oracle_sql() -> dict[str, str]:
                    first_chunk, last_chunk,
                    last_chunk - first_chunk + 1 AS n_chunks
             FROM f ORDER BY shard, doc_id
+        """,
+        "q_token_budget": f"""
+            WITH m AS (
+              SELECT doc_id, source, text, trim(text) AS tt, lower(trim(text)) AS lt
+              FROM documents
+            ), s AS (
+              SELECT doc_id, source,
+                CASE WHEN tt = '' THEN 0
+                     ELSE len(regexp_split_to_array(tt, '\\s+')) END AS n_tokens,
+                CASE WHEN tt = '' THEN 0.0
+                     ELSE CAST(len(list_filter(regexp_split_to_array(lt, '\\s+'),
+                               x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+                          / len(regexp_split_to_array(lt, '\\s+')) END AS sw,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(text,
+                               '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                          / length(text) END AS pr
+              FROM m
+            ), q AS (
+              SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                            + (1.0 - least(abs(sw - 0.4) * 2.5, 1.0))
+                            + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 4) AS score
+              FROM s
+            ), r AS (
+              SELECT source, doc_id, score, n_tokens,
+                     CAST(SUM(n_tokens) OVER (PARTITION BY source
+                          ORDER BY score DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM q
+            )
+            SELECT source, doc_id, score, n_tokens, cum_tokens
+            FROM r WHERE cum_tokens <= 600 ORDER BY source, doc_id
         """,
         "q_stratified_sample": """
             SELECT doc_id, lang

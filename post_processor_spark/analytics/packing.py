@@ -35,6 +35,86 @@ from pyspark.sql import functions as F
 from .text import token_count
 
 
+def token_budget_cap(
+    docs: DataFrame,
+    budget: int,
+    score_col: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Training-mix construction: per group (source/domain/language),
+    keep the best-scoring documents until a token budget is exhausted —
+    "give each domain at most B tokens, best docs first". A doc is kept
+    iff the running token total through it (docs ordered by score DESC,
+    id ASC) stays ≤ budget; once a doc overflows, everything after it in
+    the group is dropped (concat-and-stop semantics).
+
+    score_col must be numeric in [0,1] (e.g. text.quality_score).
+
+    Scale shape — same hot-partition hazard as pack_sequences: a plain
+    `SUM OVER (PARTITION BY group ORDER BY score DESC)` serializes each
+    group onto one task. Reused trick, adapted to an ORDER BY on a value
+    column: bucket = floor((1-score)·n_buckets) is monotone
+    NON-INCREASING in score, so (bucket ASC, score DESC, id) is the same
+    total order as (score DESC, id) — cumsum within (group, bucket)
+    windows, exclusive-prefix the tiny per-bucket totals, broadcast them
+    back. No task holds more than one bucket's rows of window state; the
+    oracle SQL uses the plain single-window form and the DuckDB
+    value-hash pins the equivalence.
+
+    Output: group, id, score, n_tokens, cum_tokens (running total
+    including self), only the kept rows.
+    """
+    base = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("score"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bucket",
+        F.least(
+            F.floor((F.lit(1.0) - F.col("score")) * n_buckets),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    )
+
+    w_in = (
+        Window.partitionBy("grp", "bucket")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+
+    w_b = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = (
+        base.groupBy("grp", "bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "bucket_off", F.coalesce(F.sum("bucket_total").over(w_b), F.lit(0))
+        )
+        .select("grp", "bucket", "bucket_off")
+    )
+
+    cum = F.col("bucket_off") + F.col("cum_in")
+    return (
+        within.join(F.broadcast(offsets), ["grp", "bucket"])
+        .filter(cum <= budget)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            "score",
+            "n_tokens",
+            cum.alias("cum_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -133,3 +133,46 @@ def test_pack_sequences_two_phase_matches_single_window(spark):
     expect = {r["doc_id"]: r["end_off"] for r in naive.collect()}
     for r in out.collect():
         assert r["end_off"] == expect[r["doc_id"]]
+
+
+def test_token_budget_cap_matches_sequential_oracle(spark):
+    """token_budget_cap (two-phase, score-bucketed) vs a sequential
+    Python oracle: per group, order by (score desc, id), keep while the
+    running total stays <= budget; once a doc overflows nothing after
+    it survives (concat-and-stop)."""
+    import random
+
+    rng = random.Random(3)
+    docs = []
+    for i in range(400):
+        grp = f"g{rng.randrange(6)}"
+        score = round(rng.random(), 4)
+        docs.append((i, grp, score, "w " * rng.randrange(0, 30)))
+    df = spark.createDataFrame(docs, "doc_id long, source string, score double, text string")
+    budget = 150
+    out = packing.token_budget_cap(
+        df, budget=budget, score_col="score", group_col="source", n_buckets=16
+    )
+    got = {(r["source"], r["doc_id"]): r["cum_tokens"] for r in out.collect()}
+
+    want = {}
+    for grp in {d[1] for d in docs}:
+        rows = sorted((d for d in docs if d[1] == grp), key=lambda d: (-d[2], d[0]))
+        cum = 0
+        for doc_id, _, _, text in rows:
+            cum += len(text.split())
+            if cum <= budget:
+                want[(grp, doc_id)] = cum
+    assert got == want
+
+
+def test_token_budget_cap_overflow_doc_blocks_tail(spark):
+    """A giant best-scoring doc exhausts the budget: nothing in its
+    group is kept, even later tiny docs (running total never recovers)."""
+    df = spark.createDataFrame(
+        [(0, "g", 0.9, "w " * 100), (1, "g", 0.5, "w w"), (2, "h", 0.1, "w w w")],
+        "doc_id long, source string, score double, text string",
+    )
+    out = packing.token_budget_cap(df, budget=10, score_col="score", group_col="source")
+    kept = {(r["source"], r["doc_id"]) for r in out.collect()}
+    assert kept == {("h", 2)}
