@@ -50,6 +50,8 @@ HEADLINE_QUERIES = [
     "q_pii_redact",
     "q_c4_clean",
     "q_seq_pack",
+    "q_token_budget",
+    "q_asof_join",
     "q_pagerank",
     "q_frontier_schedule",
     "q_seen_filter",
