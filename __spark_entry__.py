@@ -1042,6 +1042,24 @@ def _q_seq_pack(spark, sf):
     ).orderBy("shard", "doc_id")
 
 
+def _q_recrawl(spark, sf):
+    """Recrawl scheduling (recrawl.py): events replayed as fetch
+    history — user_id as the url key, per-user fetch sequence as
+    generations, event_type as the content hash — change-rate estimate
+    + bounded inverse-rate revisit interval."""
+    from post_processor_spark import recrawl
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = e.select(
+        F.col("user_id").cast("long").alias("url_hash"),
+        F.row_number().over(w).cast("long").alias("generation"),
+        F.col("event_type").alias("content_hash"),
+    )
+    rates = recrawl.estimate_change_rate(hist)
+    return recrawl.schedule_recrawl(rates, min_interval=1, max_interval=16)
+
+
 def _q_token_budget(spark, sf):
     """Per-source token-budget cap (analytics.packing.token_budget_cap):
     keep each source's best-quality docs until 600 tokens are spent,
@@ -1137,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_clean": _q_c4_clean,
         "q_seq_pack": _q_seq_pack,
         "q_token_budget": _q_token_budget,
+        "q_recrawl": _q_recrawl,
         "q_media_features": _q_media_features,
         # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
         "q_minhash_candidates": _q_minhash_candidates,
@@ -1790,6 +1809,36 @@ def oracle_sql() -> dict[str, str]:
                    first_chunk, last_chunk,
                    last_chunk - first_chunk + 1 AS n_chunks
             FROM f ORDER BY shard, doc_id
+        """,
+        "q_recrawl": """
+            WITH h AS (
+              SELECT CAST(user_id AS BIGINT) AS url_hash,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS BIGINT) AS generation,
+                     event_type AS content_hash
+              FROM events
+            ), c AS (
+              SELECT url_hash, generation,
+                     CASE WHEN lag(content_hash) OVER w IS NOT NULL
+                           AND content_hash <> lag(content_hash) OVER w
+                          THEN 1 ELSE 0 END AS changed
+              FROM h WINDOW w AS (PARTITION BY url_hash ORDER BY generation)
+            ), a AS (
+              SELECT url_hash,
+                     count(*) AS n_fetches,
+                     CAST(sum(changed) AS BIGINT) AS n_changes,
+                     max(generation) AS last_gen,
+                     CASE WHEN count(*) > 1
+                          THEN CAST(sum(changed) AS DOUBLE) / (count(*) - 1)
+                          ELSE 0.0 END AS change_rate
+              FROM c GROUP BY 1
+            )
+            SELECT url_hash, n_fetches, n_changes, last_gen, change_rate,
+                   least(16, greatest(1,
+                     CAST(floor(1.0 / (change_rate + 1.0/16)) AS BIGINT))) AS interval,
+                   last_gen + least(16, greatest(1,
+                     CAST(floor(1.0 / (change_rate + 1.0/16)) AS BIGINT))) AS next_fetch_gen
+            FROM a
         """,
         "q_token_budget": f"""
             WITH m AS (
