@@ -87,14 +87,20 @@ def token_budget_cap(
     )
     within = base.withColumn("cum_in", F.sum("n_tokens").over(w_in))
 
+    # Bucket totals come from the WINDOWED frame (total = max running
+    # total), not from re-aggregating `base`: scoring can be expensive
+    # (regex-heavy quality signals), and deriving both branches from
+    # `within` lets Spark reuse the scan+score+window exchange subtree
+    # instead of computing the score twice. The groupBy keys equal the
+    # window partitioning, so the totals aggregation adds no exchange.
     w_b = (
         Window.partitionBy("grp")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     )
     offsets = (
-        base.groupBy("grp", "bucket")
-        .agg(F.sum("n_tokens").alias("bucket_total"))
+        within.groupBy("grp", "bucket")
+        .agg(F.max("cum_in").alias("bucket_total"))
         .withColumn(
             "bucket_off", F.coalesce(F.sum("bucket_total").over(w_b), F.lit(0))
         )
