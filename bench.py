@@ -52,6 +52,7 @@ HEADLINE_QUERIES = [
     "q_seq_pack",
     "q_token_budget",
     "q_asof_join",
+    "q_recrawl",
     "q_pagerank",
     "q_frontier_schedule",
     "q_seen_filter",
