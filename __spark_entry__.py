@@ -1092,6 +1092,93 @@ def _q_span_extract(spark, sf):
     return frontier.extract_outlinks(docs_with_url).orderBy("parent_seq", "sub")
 
 
+def _q_range_join(spark, sf):
+    """Binned range join (analytics/temporal.range_join): every 11th
+    event opens a 30-minute attention window; count the same user's
+    events that fall inside it. The non-equi point-in-interval predicate
+    runs as an equi-join on (time-bin, user) + exact filter — hash join,
+    never BNLJ (the 30-min window inside a 1800 s bin means ≤2 bins per
+    interval)."""
+    from post_processor_spark.analytics import temporal
+
+    e = _t(spark, sf, "events")
+    pts = e.select("event_id", "user_id", "ts", "value")
+    iv = e.filter((F.col("event_id") % 11) == 0).select(
+        F.col("event_id").alias("iv_event_id"),
+        F.col("user_id").alias("iv_user"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    pairs = temporal.range_join(
+        pts, iv, point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        bin_width_s=1800.0, point_key="user_id", interval_key="iv_user",
+    )
+    return (
+        pairs.groupBy("iv_event_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("iv_event_id")
+    )
+
+
+def _q_temperature_sample(spark, sf):
+    """Temperature mixture sampling (analytics/sampling.temperature_sample):
+    flatten the documents language mix to count^0.5 at half the corpus
+    budget; membership is deterministic md5, recomputed bit-for-bit by
+    the oracle."""
+    d = _t(spark, sf, "documents")
+    return sampling.temperature_sample(
+        d, strata_col="lang", alpha=0.5, budget_fraction=0.5,
+        key_col="doc_id", salt="temp1",
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_crawl_delta(spark, sf):
+    """Snapshot diff (recrawl.snapshot_delta): two crawl states derived
+    deterministically from documents (old = doc_id%10!=0, new =
+    doc_id%7!=0, every 3rd doc's content drifts) → per-status corpus
+    drift counts via one full-outer join."""
+    from post_processor_spark import recrawl
+
+    d = _t(spark, sf, "documents")
+    old = d.filter((F.col("doc_id") % 10) != 0).select(
+        F.col("doc_id").alias("url_hash"), F.md5("text").alias("content_hash")
+    )
+    new = d.filter((F.col("doc_id") % 7) != 0).select(
+        F.col("doc_id").alias("url_hash"),
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when((F.col("doc_id") % 3) == 0, F.lit("v2")).otherwise(F.lit("")),
+            )
+        ).alias("content_hash"),
+    )
+    delta = recrawl.snapshot_delta(old, new)
+    return (
+        delta.groupBy("status")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum("url_hash").cast("long").alias("sum_key"),
+        )
+        .orderBy("status")
+    )
+
+
+def _q_group_quantiles(spark, sf):
+    """Exact per-group order-statistic quantiles
+    (analytics/stats.group_quantiles): per-language document length
+    p50/p90/p99 at rank ceil(q·n) — single-shuffle window+agg plan, same
+    rank formula in the DuckDB oracle."""
+    from post_processor_spark.analytics import stats
+
+    d = _t(spark, sf, "documents").select(
+        "lang", F.length("text").cast("long").alias("len")
+    )
+    return stats.group_quantiles(d, "lang", "len", qs=(0.5, 0.9, 0.99)).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/filters/projections/aggregations (S*, P*, A*, O*)
@@ -1156,6 +1243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seq_pack": _q_seq_pack,
         "q_token_budget": _q_token_budget,
         "q_recrawl": _q_recrawl,
+        "q_range_join": _q_range_join,
+        "q_temperature_sample": _q_temperature_sample,
+        "q_crawl_delta": _q_crawl_delta,
+        "q_group_quantiles": _q_group_quantiles,
         "q_media_features": _q_media_features,
         # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
         "q_minhash_candidates": _q_minhash_candidates,
@@ -1839,6 +1930,67 @@ def oracle_sql() -> dict[str, str]:
                    last_gen + least(16, greatest(1,
                      CAST(floor(1.0 / (change_rate + 1.0/16)) AS BIGINT))) AS next_fetch_gen
             FROM a
+        """,
+        "q_range_join": """
+            WITH iv AS (
+              SELECT event_id AS iv_event_id, user_id AS iv_user, ts AS start_ts,
+                     ts + INTERVAL 30 MINUTE AS end_ts
+              FROM events WHERE event_id % 11 = 0
+            )
+            SELECT iv.iv_event_id, count(*) AS n_events,
+                   round(sum(e.value), 2) AS sum_value
+            FROM iv JOIN events e
+              ON e.user_id = iv.iv_user AND e.ts BETWEEN iv.start_ts AND iv.end_ts
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q_temperature_sample": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            t AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS wsum FROM c),
+            r AS (SELECT c.lang,
+                         least(1.0, 0.5 * t.total * pow(c.n, 0.5)
+                               / (t.wsum * c.n)) AS fraction
+                  FROM c, t)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp1'), 1, 8)) AS BIGINT)
+                  / 4294967296.0 < r.fraction
+            ORDER BY d.doc_id
+        """,
+        "q_crawl_delta": """
+            WITH o AS (
+              SELECT doc_id AS url_hash, md5(text) AS old_fp
+              FROM documents WHERE doc_id % 10 <> 0
+            ), n AS (
+              SELECT doc_id AS url_hash,
+                     md5(text || CASE WHEN doc_id % 3 = 0
+                                      THEN 'v2' ELSE '' END) AS new_fp
+              FROM documents WHERE doc_id % 7 <> 0
+            ), j AS (
+              SELECT coalesce(o.url_hash, n.url_hash) AS url_hash,
+                     CASE WHEN o.url_hash IS NULL THEN 'added'
+                          WHEN n.url_hash IS NULL THEN 'removed'
+                          WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM o FULL OUTER JOIN n ON o.url_hash = n.url_hash
+            )
+            SELECT status, count(*) AS n_urls,
+                   CAST(sum(url_hash) AS BIGINT) AS sum_key
+            FROM j GROUP BY status ORDER BY status
+        """,
+        "q_group_quantiles": """
+            WITH b AS (
+              SELECT lang, CAST(length(text) AS BIGINT) AS len FROM documents
+            ), r AS (
+              SELECT lang, len,
+                     row_number() OVER (PARTITION BY lang ORDER BY len) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM b
+            )
+            SELECT lang, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN len END) AS p50,
+                   max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN len END) AS p90,
+                   max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN len END) AS p99
+            FROM r GROUP BY lang ORDER BY lang
         """,
         "q_token_budget": f"""
             WITH m AS (

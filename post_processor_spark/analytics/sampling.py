@@ -77,6 +77,55 @@ def stratified_sample_table(
     ).select(*df.columns)
 
 
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    budget_fraction: float = 1.0,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture sampling: re-weight strata (languages,
+    domains, source tiers) so the kept corpus follows count^alpha instead
+    of raw counts — the standard move for flattening a head-heavy crawl
+    mix before training (alpha=1 keeps natural proportions, alpha=0
+    equalizes strata, alpha≈0.5–0.7 is the usual multilingual setting).
+
+    Each stratum s with n_s rows gets weight w_s = n_s^alpha and keep
+    fraction  f_s = min(1, B·w_s / (Σw · n_s))  where B =
+    budget_fraction·Σn is the target kept-row budget. Small strata cap at
+    1.0 (kept whole, no renormalization pass — the budget is a target,
+    not a constraint; document callers can iterate if they need exact B).
+
+    Scale shape: one tiny aggregate over the corpus (one row per stratum,
+    map-side partial combine), a broadcast of that stratum table, and a
+    map-only deterministic-hash filter — the corpus itself never
+    shuffles. Fully reproducible (see module docstring) and expressible
+    bit-for-bit in ANSI SQL for the oracle.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0: {alpha}")
+    if not 0.0 <= budget_fraction <= 1.0:
+        raise ValueError(f"budget_fraction must be in [0,1]: {budget_fraction}")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    totals = counts.agg(
+        F.sum("__n").alias("__total"),
+        F.sum(F.pow("__n", F.lit(float(alpha)))).alias("__wsum"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        F.col(strata_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_fraction)) * F.col("__total")
+            * F.pow("__n", F.lit(float(alpha)))
+            / (F.col("__wsum") * F.col("__n")),
+        ).alias("fraction"),
+    )
+    return stratified_sample_table(
+        df, rates, strata_col, default_fraction=0.0, key_col=key_col, salt=salt
+    )
+
+
 def train_eval_split(
     df: DataFrame, eval_fraction: float = 0.01, key_col: str = "doc_id",
     salt: str = "split",

@@ -33,11 +33,79 @@ q_asof_join driver query does exactly that.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TAG = "__asof_tag"
 _RT = "__asof_right_t"
+_BIN = "__rj_bin"
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_width_s: float,
+    point_key: str | None = None,
+    interval_key: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join (`start <= ts <= end`, inclusive both ends)
+    without the BNLJ/CartesianProduct Catalyst plans for a non-equi
+    predicate.
+
+    Plan: bucket time into bins of bin_width_s seconds; each interval is
+    exploded to the bins it covers (`sequence(bin(start), bin(end))`),
+    each point has exactly ONE bin, and the join becomes an equi-join on
+    (bin [, key]) followed by the exact range filter. Because a point
+    belongs to exactly one bin, every qualifying (point, interval) pair
+    is emitted exactly once — no post-join dedup.
+
+    Scale shape: a hash shuffle on (bin [, key]) instead of a broadcast
+    nested loop — this is the "binned range join" a 100 TB events ×
+    windows join needs. The interval side expands by
+    ~(interval_length / bin_width_s + 1) rows, so pick bin_width_s near
+    the TYPICAL interval length: blowup stays 2–3×, and each bin's
+    population bounds the per-task match work. Skewed bins (a hot hour)
+    are ordinary join skew — AQE skew-join handles them.
+
+    point_key/interval_key: optional extra equality predicate (e.g.
+    events.user_id = window.custkey) folded into the join key, which both
+    tightens the shuffle key and shrinks bins.
+
+    Intervals with end < start are dropped (empty range; also keeps
+    `sequence()` from stepping backwards). Output is points.* ++
+    intervals.* — column names must be disjoint.
+    """
+    if bin_width_s <= 0:
+        raise ValueError(f"bin_width_s must be > 0: {bin_width_s}")
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"point/interval columns collide: {sorted(overlap)}")
+    if (point_key is None) != (interval_key is None):
+        raise ValueError("point_key and interval_key must be set together")
+
+    def _bin(c: str) -> Column:
+        # .cast("timestamp") first: TIMESTAMP_NTZ has no direct double
+        # cast; the double keeps sub-second precision (numeric ts columns
+        # pass through both casts unchanged).
+        return F.floor(
+            F.col(c).cast("timestamp").cast("double") / F.lit(float(bin_width_s))
+        )
+
+    p = points.withColumn(_BIN, _bin(point_ts))
+    iv = (
+        intervals.filter(F.col(end_ts) >= F.col(start_ts))
+        .withColumn(_BIN, F.explode(F.sequence(_bin(start_ts), _bin(end_ts))))
+    )
+    on = [_BIN] if point_key is None else [
+        p[_BIN] == iv[_BIN], p[point_key] == iv[interval_key]
+    ]
+    joined = p.join(iv, on=on, how="inner").filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.select(*points.columns, *intervals.columns)
 
 
 def asof_join(

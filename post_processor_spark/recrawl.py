@@ -72,6 +72,62 @@ def estimate_change_rate(
     )
 
 
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url_hash",
+    fp_col: str = "content_hash",
+) -> DataFrame:
+    """Diff two crawl snapshots into per-URL change status — the batch
+    companion of estimate_change_rate (that one watches a URL's history;
+    this one compares two whole corpus states, e.g. last month's crawl vs
+    this month's).
+
+    Output: (key, status, old_fp, new_fp) with status ∈
+    {'added', 'removed', 'changed', 'unchanged'}:
+      added     — key only in `new`
+      removed   — key only in `old`
+      changed   — in both, fingerprints differ (null fingerprints never
+                  equal anything, so null-vs-value counts as changed;
+                  null-vs-null too — an unfingerprinted pair is not
+                  evidence of sameness)
+      unchanged — in both, fingerprints equal
+
+    Scale shape: one full-outer sort-merge join hashed on the url key —
+    both snapshots shuffle once; with both snapshots stored bucketed by
+    the key (state.py layout) the exchange disappears entirely. Status
+    derivation is pure column expressions; no driver state. Feed
+    `changed`+`added` into the frontier as the next generation's work,
+    and the per-status counts into the recrawl policy as corpus-level
+    drift metrics.
+
+    Each snapshot must be unique per key (dedupe upstream — frontier
+    state already guarantees one row per url_hash).
+    """
+    o = old.select(
+        F.col(key_col).alias("__k"),
+        F.col(fp_col).alias("old_fp"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("__k"),
+        F.col(fp_col).alias("new_fp"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, on="__k", how="full_outer")
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+    status = (
+        F.when(~in_old & in_new, F.lit("added"))
+        .when(in_old & ~in_new, F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("__k").alias(key_col), status.alias("status"), "old_fp", "new_fp"
+    )
+
+
 def schedule_recrawl(
     rates: DataFrame,
     min_interval: int = 1,

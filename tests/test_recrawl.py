@@ -92,3 +92,50 @@ def test_single_exchange_plan(history):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# snapshot_delta
+# ---------------------------------------------------------------------------
+
+def test_snapshot_delta_statuses(spark):
+    """All four statuses, plus the null-fingerprint rules: null vs value
+    and null vs null both read as 'changed' (no evidence of sameness)."""
+    from post_processor_spark.recrawl import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, None)],
+        "url_hash long, content_hash string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "x"), (5, None), (6, "f")],
+        "url_hash long, content_hash string",
+    )
+    got = {
+        r["url_hash"]: (r["status"], r["old_fp"], r["new_fp"])
+        for r in snapshot_delta(old, new).collect()
+    }
+    assert got == {
+        1: ("unchanged", "a", "a"),
+        2: ("changed", "b", "B"),
+        3: ("removed", "c", None),
+        4: ("changed", None, "x"),
+        5: ("changed", None, None),
+        6: ("added", None, "f"),
+    }
+
+
+def test_snapshot_delta_single_join_plan(spark):
+    """One sort-merge full-outer join, no BNLJ/Cartesian."""
+    from post_processor_spark.recrawl import snapshot_delta
+
+    old = spark.range(100).select(
+        F.col("id").alias("url_hash"), F.md5(F.col("id").cast("string")).alias("content_hash")
+    )
+    new = spark.range(50, 150).select(
+        F.col("id").alias("url_hash"), F.md5(F.col("id").cast("string")).alias("content_hash")
+    )
+    plan = snapshot_delta(old, new)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan

@@ -68,3 +68,72 @@ def test_train_eval_split_partitions_exactly(spark):
     assert tr | ho == set(range(400)) and not (tr & ho)
     expect_ho = {i for i in range(400) if _u(i, "h") < 0.05}
     assert ho == expect_ho
+
+
+def _skewed_docs(spark):
+    """80% en, 15% de, 4% fr, 1% xx — a head-heavy crawl mix."""
+    rows = []
+    for i in range(1000):
+        lang = "en" if i % 100 < 80 else "de" if i % 100 < 95 else \
+               "fr" if i % 100 < 99 else "xx"
+        rows.append((i, lang))
+    return rows, spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def _temp_fractions(counts, alpha, budget_fraction):
+    total = sum(counts.values())
+    wsum = sum(n ** alpha for n in counts.values())
+    return {
+        s: min(1.0, budget_fraction * total * (n ** alpha) / (wsum * n))
+        for s, n in counts.items()
+    }
+
+
+def test_temperature_sample_matches_hashlib_oracle(spark):
+    """Exact membership: fraction formula + md5 threshold recomputed in
+    pure Python."""
+    rows, df = _skewed_docs(spark)
+    counts = {}
+    for _, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    frac = _temp_fractions(counts, alpha=0.5, budget_fraction=0.5)
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.temperature_sample(
+            df, "lang", alpha=0.5, budget_fraction=0.5, salt="t1"
+        ).collect()
+    )
+    expect = sorted(i for i, lang in rows if _u(i, "t1") < frac[lang])
+    assert got == expect
+
+
+def test_temperature_sample_flattens_the_mix(spark):
+    """alpha<1 must RAISE small strata's keep rate relative to big ones;
+    tiny strata cap at 1.0 (kept whole); alpha=1 keeps natural
+    proportions (every stratum at budget_fraction)."""
+    rows, df = _skewed_docs(spark)
+    counts = {}
+    for _, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    frac = _temp_fractions(counts, alpha=0.5, budget_fraction=0.5)
+    assert frac["xx"] == 1.0  # 10 docs: capped, kept whole
+    assert frac["fr"] > frac["de"] > frac["en"]
+    # alpha=1 degenerates to uniform budget_fraction
+    u1 = _temp_fractions(counts, alpha=1.0, budget_fraction=0.5)
+    assert all(abs(v - 0.5) < 1e-12 for v in u1.values())
+    kept = sampling.temperature_sample(
+        df, "lang", alpha=0.5, budget_fraction=0.5, salt="t2"
+    )
+    by_lang = {
+        r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()
+    }
+    assert by_lang["xx"] == counts["xx"]  # capped stratum kept whole
+
+
+def test_temperature_sample_validations(spark):
+    _, df = _skewed_docs(spark)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_sample(df, "lang", alpha=-0.1)
+    with _pytest.raises(ValueError, match="budget_fraction"):
+        sampling.temperature_sample(df, "lang", budget_fraction=1.5)

@@ -106,3 +106,86 @@ def test_asof_join_single_shuffle_plan(corpora):
     assert "BroadcastNestedLoopJoin" not in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+def _brute_range(points, intervals):
+    """points: [(pid, key, t)], intervals: [(iid, key, s, e)] →
+    {(pid, iid)} for s <= t <= e on matching key."""
+    return {
+        (pid, iid)
+        for (pid, pk, t) in points
+        for (iid, ik, s, e) in intervals
+        if pk == ik and s <= t <= e
+    }
+
+
+@pytest.fixture(scope="module")
+def range_corpora(spark):
+    rng = random.Random(11)
+    points = [(i, rng.randrange(6), float(rng.randrange(0, 2000))) for i in range(400)]
+    intervals = []
+    for i in range(120):
+        s = float(rng.randrange(0, 2000))
+        # mix of short, long, zero-length, and inverted (empty) intervals
+        length = rng.choice([0.0, 5.0, 37.0, 250.0, -10.0])
+        intervals.append((i, rng.randrange(6), s, s + length))
+    pdf = spark.createDataFrame(points, "pid int, pkey int, t double")
+    idf = spark.createDataFrame(intervals, "iid int, ikey int, s double, e double")
+    return points, intervals, pdf, idf
+
+
+@pytest.mark.parametrize("bin_width", [7.0, 64.0, 1000.0, 10000.0])
+def test_range_join_matches_brute_force(range_corpora, bin_width):
+    """Pair set is exact for any bin width — width is a physical knob
+    (blowup vs bin population), never a semantics knob."""
+    points, intervals, pdf, idf = range_corpora
+    got = {
+        (r["pid"], r["iid"])
+        for r in temporal.range_join(
+            pdf, idf, "t", "s", "e", bin_width,
+            point_key="pkey", interval_key="ikey",
+        ).collect()
+    }
+    assert got == _brute_range(points, intervals)
+
+
+def test_range_join_keyless_matches_brute_force(range_corpora):
+    points, intervals, pdf, idf = range_corpora
+    pts = [(pid, 0, t) for (pid, _, t) in points][:80]
+    ivs = [(iid, 0, s, e) for (iid, _, s, e) in intervals][:40]
+    pdf2 = pdf.limit(0).sparkSession.createDataFrame(pts, "pid int, pkey int, t double")
+    idf2 = idf.limit(0).sparkSession.createDataFrame(ivs, "iid int, ikey int, s double, e double")
+    got = {
+        (r["pid"], r["iid"])
+        for r in temporal.range_join(
+            pdf2.drop("pkey"), idf2.drop("ikey"), "t", "s", "e", 50.0
+        ).collect()
+    }
+    assert got == _brute_range(pts, ivs)
+
+
+def test_range_join_no_bnlj_plan(range_corpora):
+    """The whole point: a non-equi time predicate that still plans as a
+    hash equi-join — no BroadcastNestedLoopJoin, no CartesianProduct."""
+    _, _, pdf, idf = range_corpora
+    plan = temporal.range_join(
+        pdf, idf, "t", "s", "e", 64.0, point_key="pkey", interval_key="ikey"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_validations(range_corpora):
+    _, _, pdf, idf = range_corpora
+    with pytest.raises(ValueError, match="bin_width_s"):
+        temporal.range_join(pdf, idf, "t", "s", "e", 0.0)
+    with pytest.raises(ValueError, match="set together"):
+        temporal.range_join(pdf, idf, "t", "s", "e", 10.0, point_key="pkey")
+    with pytest.raises(ValueError, match="collide"):
+        temporal.range_join(
+            pdf, idf.withColumnRenamed("iid", "pid"), "t", "s", "e", 10.0
+        )
