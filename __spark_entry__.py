@@ -1179,6 +1179,97 @@ def _q_group_quantiles(spark, sf):
     return stats.group_quantiles(d, "lang", "len", qs=(0.5, 0.9, 0.99)).orderBy("lang")
 
 
+def _q_quality_classifier(spark, sf):
+    """Model-based quality filter (text.hashed_linear_score): fasttext-
+    style hashed bag-of-words linear classifier + sigmoid, fixture
+    weights derived from the bucket id so the DuckDB oracle recomputes
+    the full model bit-for-bit (md5 buckets, sequential fold, same
+    arithmetic)."""
+    from post_processor_spark.analytics import text as text_mod
+
+    d = _t(spark, sf, "documents")
+    score = text_mod.hashed_linear_score(F.col("text"), dim=1024, salt="q1")
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _q_sitemap_scan(spark, sf):
+    """Sitemap ingestion (sources.parse_sitemaps): each source's docs are
+    serialized into a real <urlset> XML sitemap (plus one <sitemapindex>
+    over all sources), then parsed back with from_xml (JVM StAX). The
+    oracle derives the same rows relationally without XML — the value
+    hash pins serialize→parse as the identity."""
+    from post_processor_spark import sources as src_mod
+
+    d = _t(spark, sf, "documents")
+    frag = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2024-01-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod>"),
+        F.when(
+            (F.col("doc_id") % 3) != 0,
+            F.concat(
+                F.lit("<changefreq>"),
+                F.when((F.col("doc_id") % 2) == 0, F.lit("daily"))
+                .otherwise(F.lit("weekly")),
+                F.lit("</changefreq>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<priority>0."), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    per_src = (
+        d.select("source", "doc_id", frag.alias("frag"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "frag"))),
+                        lambda x: x["frag"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    index = per_src.groupBy().agg(
+        F.concat(
+            F.lit("<sitemapindex>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("source"))),
+                    lambda x: F.concat(
+                        F.lit("<sitemap><loc>https://"), x["source"],
+                        F.lit(".example.com/sitemap.xml</loc>"),
+                        F.lit("<lastmod>2024-02-01</lastmod></sitemap>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</sitemapindex>"),
+        ).alias("xml")
+    ).select(F.lit("_index").alias("sitemap_id"), "xml")
+    sitemaps = per_src.select(
+        F.col("source").alias("sitemap_id"), "xml"
+    ).unionByName(index)
+    parsed = src_mod.parse_sitemaps(sitemaps)
+    # coalesce to the sitemap-spec default priority 0.5: keeps the
+    # nullable-double column out of the hash compare (pandas turns a
+    # NULL double into NaN on the DuckDB side)
+    return parsed.select(
+        "sitemap_id", "kind", "loc", "lastmod", "changefreq",
+        F.coalesce("priority", F.lit(0.5)).alias("priority"),
+    ).orderBy("kind", "loc")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/filters/projections/aggregations (S*, P*, A*, O*)
@@ -1243,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seq_pack": _q_seq_pack,
         "q_token_budget": _q_token_budget,
         "q_recrawl": _q_recrawl,
+        "q_quality_classifier": _q_quality_classifier,
+        "q_sitemap_scan": _q_sitemap_scan,
         "q_range_join": _q_range_join,
         "q_temperature_sample": _q_temperature_sample,
         "q_crawl_delta": _q_crawl_delta,
@@ -1930,6 +2023,51 @@ def oracle_sql() -> dict[str, str]:
                    last_gen + least(16, greatest(1,
                      CAST(floor(1.0 / (change_rate + 1.0/16)) AS BIGINT))) AS next_fetch_gen
             FROM a
+        """,
+        "q_quality_classifier": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, len(toks) AS n,
+                     list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(toks, x ->
+                           ((((CAST(('0x' || substr(md5(x || 'q1'), 1, 8)) AS BIGINT) % 1024)
+                              * 2654435761) % 2147483648) / 2147483648.0) * 2 - 1)),
+                       (acc, w) -> acc + w) AS total
+              FROM t
+            ), l AS (
+              SELECT doc_id,
+                     CASE WHEN n > 0 THEN total / n ELSE 0.0 END AS logit
+              FROM s
+            )
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+                   (1.0 / (1.0 + exp(-logit))) >= 0.5 AS keep
+            FROM l ORDER BY doc_id
+        """,
+        "q_sitemap_scan": """
+            WITH u AS (
+              SELECT source AS sitemap_id, 'url' AS kind,
+                     'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+                     '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+                     CASE WHEN doc_id % 3 = 0 THEN NULL
+                          WHEN doc_id % 2 = 0 THEN 'daily' ELSE 'weekly' END AS changefreq,
+                     CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS priority
+              FROM documents
+            ), s AS (
+              SELECT DISTINCT '_index' AS sitemap_id, 'sitemap' AS kind,
+                     'https://' || source || '.example.com/sitemap.xml' AS loc,
+                     '2024-02-01' AS lastmod,
+                     CAST(NULL AS VARCHAR) AS changefreq,
+                     0.5 AS priority
+              FROM documents
+            )
+            SELECT * FROM (SELECT * FROM u UNION ALL SELECT * FROM s)
+            ORDER BY kind, loc
         """,
         "q_range_join": """
             WITH iv AS (

@@ -101,3 +101,66 @@ def profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear classifier (fasttext-style model-based quality filter)
+# ---------------------------------------------------------------------------
+
+_HASH_MULT = 2654435761  # Knuth multiplicative constant
+_HASH_MOD = 2147483648   # 2^31
+
+
+def hashed_bucket(token: Column, dim: int, salt: str = "") -> Column:
+    """Feature hashing: token → bucket in [0, dim) via the first 32 bits
+    of md5(token ‖ salt) — engine-portable (the DuckDB oracle recomputes
+    it bit-for-bit), deterministic, no vocabulary table."""
+    h = F.conv(F.substring(F.md5(F.concat(token, F.lit(salt))), 1, 8), 16, 10)
+    return h.cast("long") % dim
+
+
+def hashed_linear_score(
+    col: Column,
+    weights: list[float] | None = None,
+    dim: int = 4096,
+    bias: float = 0.0,
+    salt: str = "",
+) -> Column:
+    """fasttext-style linear text classifier, all JVM expressions:
+    score = sigmoid(bias + mean over tokens of w[bucket(token)]).
+
+    This is the shape of the model-based quality filters
+    (CCNet/DataComp-style) a training pipeline runs corpus-wide: hashed
+    bag-of-words, linear weights, sigmoid. `weights` is the trained
+    weight vector, folded into the plan as a literal array (fine up to
+    ~64k buckets; for bigger models broadcast-join a (bucket, weight)
+    dim instead). With weights=None each bucket gets a deterministic
+    pseudo-weight in [-1, 1) ((b·2654435761 mod 2^31)/2^31·2−1) — a
+    fixture model that keeps the whole classifier expressible in the
+    DuckDB oracle with no side table.
+
+    Scale shape: map-only higher-order-function fold per row — no
+    shuffle, no Python, no model file I/O on executors. Empty docs score
+    sigmoid(bias) (no token evidence).
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be > 0: {dim}")
+    if weights is not None and len(weights) != dim:
+        raise ValueError(f"weights length {len(weights)} != dim {dim}")
+    toks = F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
+    bucket = lambda t: hashed_bucket(t, dim, salt)  # noqa: E731
+    if weights is None:
+        w = lambda b: (  # noqa: E731
+            ((b * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)).cast("double")
+            / F.lit(float(_HASH_MOD)) * 2.0 - 1.0
+        )
+    else:
+        arr = F.lit([float(x) for x in weights])
+        # element_at is 1-indexed
+        w = lambda b: F.element_at(arr, (b + 1).cast("int"))  # noqa: E731
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + w(bucket(t))
+    )
+    n = F.size(toks)
+    logit = F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))

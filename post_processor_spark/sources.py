@@ -504,3 +504,89 @@ def read_nyt_archive(spark: SparkSession, months: list[str], fetch) -> DataFrame
 
     raw = months_df.mapInPandas(gen, schema="month string, raw string")
     return parse_nyt_archive(raw)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap ingestion (crawl-tier source: urlset + sitemapindex XML)
+# ---------------------------------------------------------------------------
+
+# One permissive schema covers both document kinds: a <urlset> fills the
+# `url` array, a <sitemapindex> fills the `sitemap` array, and the other
+# side parses to NULL. lastmod stays a STRING (sitemaps allow either
+# W3C dates or datetimes; the caller decides the cast) — priority is the
+# only typed field the frontier consumes numerically.
+SITEMAP_XML_SCHEMA = (
+    "STRUCT<"
+    "url: ARRAY<STRUCT<loc: STRING, lastmod: STRING,"
+    " changefreq: STRING, priority: DOUBLE>>, "
+    "sitemap: ARRAY<STRUCT<loc: STRING, lastmod: STRING>>"
+    ">"
+)
+
+
+def parse_sitemaps(
+    df: DataFrame, xml_col: str = "xml", id_col: str = "sitemap_id"
+) -> DataFrame:
+    """Parse fetched sitemap documents (urlset and/or sitemapindex XML)
+    into one long frame: (id_col, kind, loc, lastmod, changefreq,
+    priority). kind='url' rows are fetchable page URLs (the frontier seed
+    feed); kind='sitemap' rows are nested index references — route them
+    back into the fetch loop to crawl the index tree level by level (the
+    same injectable-fetch pattern as read_nyt_archive / S11).
+
+    Scale shape: from_xml is the JVM StaxXmlParser — map-only, no Python,
+    no shuffle; a 10^6-sitemap batch parses embarrassingly parallel.
+    Malformed XML parses to NULL arrays and simply yields no rows
+    (PERMISSIVE semantics, like the reference's tolerant readers).
+    """
+    parsed = df.select(
+        F.col(id_col), F.from_xml(F.col(xml_col), SITEMAP_XML_SCHEMA).alias("p")
+    )
+    urls = parsed.select(
+        id_col, F.explode("p.url").alias("u")
+    ).select(
+        id_col,
+        F.lit("url").alias("kind"),
+        F.col("u.loc").alias("loc"),
+        F.col("u.lastmod").alias("lastmod"),
+        F.col("u.changefreq").alias("changefreq"),
+        F.col("u.priority").alias("priority"),
+    )
+    subs = parsed.select(
+        id_col, F.explode("p.sitemap").alias("s")
+    ).select(
+        id_col,
+        F.lit("sitemap").alias("kind"),
+        F.col("s.loc").alias("loc"),
+        F.col("s.lastmod").alias("lastmod"),
+        F.lit(None).cast("string").alias("changefreq"),
+        F.lit(None).cast("double").alias("priority"),
+    )
+    return urls.unionByName(subs)
+
+
+def sitemap_seeds(parsed: DataFrame, priority_classes: int = 8) -> DataFrame:
+    """kind='url' sitemap rows → frontier seed rows (url, priority, seq).
+
+    Sitemap <priority> is 0.0 (least) … 1.0 (most important), default
+    0.5; the frontier's ORDER_COLS sort ASCENDING on an integer class, so
+    map it inverted: class = floor((1 - p) · classes), clamped — a 1.0
+    page lands in class 0 (scheduled first). seq must be a deterministic
+    tie-break that does NOT cost a global sort at 10^10 rows, so it is
+    the positive xxhash64 of the URL (stable across runs/partitionings),
+    not a row_number.
+    """
+    p = F.coalesce(F.col("priority"), F.lit(0.5))
+    cls = F.least(
+        F.lit(priority_classes - 1).cast("int"),
+        F.greatest(
+            F.lit(0).cast("int"),
+            F.floor((F.lit(1.0) - p) * priority_classes).cast("int"),
+        ),
+    )
+    return parsed.filter(F.col("kind") == "url").select(
+        F.col("loc").alias("url"),
+        cls.alias("priority"),
+        (F.xxhash64("loc").bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)))
+        .alias("seq"),
+    )

@@ -513,3 +513,60 @@ def test_rank_priority_feedback(spark):
     picked = sorted(r["url"].rsplit("/", 1)[1] for r in sched.collect())
     # budget 2 on one host: doc 4 (class 0) and doc 2 (class 3) win
     assert picked == ["2", "4"]
+
+
+def test_hashed_linear_score_matches_python_oracle(spark):
+    """Trained-weights path: bucket = md5 feature hash, score =
+    sigmoid(bias + mean token weight), recomputed in pure Python."""
+    import hashlib
+    import math
+    import random
+
+    import pytest
+
+    rng = random.Random(3)
+    dim = 64
+    weights = [rng.uniform(-2, 2) for _ in range(dim)]
+    docs = [
+        (0, "the quick brown fox"),
+        (1, "  spaced    out   tokens "),
+        (2, ""),            # empty → sigmoid(bias)
+        (3, "   "),         # whitespace-only → sigmoid(bias)
+        (4, "Mixed CASE Tokens mixed case tokens"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["score"]
+        for r in df.select(
+            "doc_id",
+            text.hashed_linear_score(
+                F.col("text"), weights=weights, dim=dim, bias=0.25, salt="s"
+            ).alias("score"),
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5((tok + "s").encode()).hexdigest()[:8], 16) % dim
+
+    for doc_id, txt in docs:
+        toks = [t for t in txt.lower().strip().split() if t]
+        mean_w = sum(weights[bucket(t)] for t in toks) / len(toks) if toks else 0.0
+        want = 1.0 / (1.0 + math.exp(-(0.25 + mean_w)))
+        assert abs(out[doc_id] - want) < 1e-12, (doc_id, out[doc_id], want)
+
+    with pytest.raises(ValueError, match="weights length"):
+        df.select(text.hashed_linear_score(F.col("text"), weights=[0.0], dim=8))
+    with pytest.raises(ValueError, match="dim"):
+        df.select(text.hashed_linear_score(F.col("text"), dim=0))
+
+
+def test_hashed_linear_score_is_map_only(spark):
+    """No shuffle, no Python runner in the plan — pure codegen filter
+    material."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        df.select(text.hashed_linear_score(F.col("text")).alias("s"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython

@@ -370,3 +370,57 @@ def test_nyt_archive_scan(spark):
     assert str(r["date"]) == "2019-01-02"
     assert r["keywords"] == ["Elections", "Votes"]  # subject-only
     assert r["byline"] == "By A. B." and r["material_type"] == "News"
+
+
+def test_sitemap_parse_and_seeds(spark):
+    """parse_sitemaps handles urlset + sitemapindex (with namespace),
+    missing optional elements → NULL, malformed XML → zero rows;
+    sitemap_seeds maps <priority> to inverted integer classes with a
+    deterministic hash seq and plugs into seeds_to_frontier."""
+    from post_processor_spark import frontier
+
+    urlset = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.example.com/top</loc><lastmod>2024-01-03</lastmod>"
+        "<changefreq>daily</changefreq><priority>1.0</priority></url>"
+        "<url><loc>https://a.example.com/mid</loc></url>"
+        "<url><loc>https://a.example.com/low</loc><priority>0.0</priority></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.example.com/s1.xml</loc>"
+        "<lastmod>2024-02-01</lastmod></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "<not-even-xml")],
+        "sitemap_id long, xml string",
+    )
+    parsed = sources.parse_sitemaps(df)
+    rows = {r["loc"]: r for r in parsed.collect()}
+    assert len(rows) == 4  # 3 urls + 1 nested sitemap; malformed → nothing
+    assert rows["https://a.example.com/top"]["kind"] == "url"
+    assert rows["https://a.example.com/top"]["changefreq"] == "daily"
+    assert rows["https://a.example.com/mid"]["lastmod"] is None
+    assert rows["https://a.example.com/mid"]["priority"] is None
+    assert rows["https://a.example.com/s1.xml"]["kind"] == "sitemap"
+    assert rows["https://a.example.com/s1.xml"]["lastmod"] == "2024-02-01"
+
+    seeds = sources.sitemap_seeds(parsed)
+    srows = {r["url"]: r for r in seeds.collect()}
+    assert set(srows) == {
+        "https://a.example.com/top",
+        "https://a.example.com/mid",
+        "https://a.example.com/low",
+    }  # nested sitemap ref is NOT a seed
+    assert srows["https://a.example.com/top"]["priority"] == 0   # 1.0 → best class
+    assert srows["https://a.example.com/mid"]["priority"] == 4   # default 0.5
+    assert srows["https://a.example.com/low"]["priority"] == 7   # 0.0 → clamped worst
+    assert all(r["seq"] >= 0 for r in srows.values())
+    # deterministic: same URL → same seq on a fresh plan
+    again = {r["url"]: r["seq"] for r in sources.sitemap_seeds(parsed).collect()}
+    assert again == {u: r["seq"] for u, r in srows.items()}
+    # schema-compatible with the frontier seed path
+    fr = frontier.seeds_to_frontier(seeds)
+    assert fr.count() == 3
+    assert set(frontier.ORDER_COLS) <= set(fr.columns)
