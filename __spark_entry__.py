@@ -1270,6 +1270,74 @@ def _q_sitemap_scan(spark, sf):
     ).orderBy("kind", "loc")
 
 
+def _q_html_main_text(spark, sf):
+    """Boilerplate removal (html.main_text): each doc is serialized into
+    a full HTML page (head/title/style/script, nav link bar, h1, body
+    paragraph, HTML comment, anchor-bearing footer), then main text is
+    re-extracted with the columnar block-split + link-density heuristic.
+    The oracle derives the surviving blocks relationally — the value
+    hash pins serialize→extract as the designed identity (title/nav/
+    script/style/comment dropped, h1 + paragraph + footer kept)."""
+    from post_processor_spark.analytics import html as html_mod
+
+    d = _t(spark, sf, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>p{color:red}</style>"
+            "<script>var x=1; if(x<2){x++;}</script></head><body>"
+            '<nav><a href="https://'
+        ),
+        F.col("source"),
+        F.lit('.example.com/">home</a> <a href="https://'), F.col("source"),
+        F.lit('.example.com/about">about</a></nav><h1>'),
+        F.col("lang"), F.lit(" document "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit(
+            '</p><!-- hidden <p>x</p> --><div class="footer">'
+            'Contact &amp; imprint: <a href="mailto:ed@'
+        ),
+        F.col("source"),
+        F.lit('.example.com">mail me</a></div></body></html>'),
+    )
+    pages = d.select("doc_id", page.alias("html"))
+    return (
+        html_mod.main_text(pages)
+        .select(
+            "doc_id",
+            "main_text",
+            F.col("n_blocks_kept").cast("long").alias("n_blocks_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_anchor_profile(spark, sf):
+    """Anchor/outlink analytics (html.extract_anchors + anchor_profile):
+    docs are serialized into small link pages (three anchors each, hrefs
+    keyed by doc_id mod so targets collide across docs and one href
+    repeats within a page), anchors are re-extracted from the markup,
+    and the per-target profile (inlink count, distinct linking docs,
+    dominant anchor text with deterministic tie-break) is aggregated.
+    The oracle derives the anchor set relationally and aggregates with
+    a window."""
+    from post_processor_spark.analytics import html as html_mod
+
+    d = _t(spark, sf, "documents")
+    page = F.concat(
+        F.lit('<div><a href="https://t'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.com/">site '), (F.col("doc_id") % 3).cast("string"),
+        F.lit('</a> <a href="https://t'),
+        ((F.col("doc_id") + 1) % 7).cast("string"),
+        F.lit('.example.com/">visit '), (F.col("doc_id") % 2).cast("string"),
+        F.lit('</a> <a href="https://t'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.com/"><b>again</b></a></div>'),
+    )
+    pages = d.select("doc_id", page.alias("html"))
+    anchors = html_mod.extract_anchors(pages)
+    return html_mod.anchor_profile(anchors).orderBy("href")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/filters/projections/aggregations (S*, P*, A*, O*)
@@ -1336,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl": _q_recrawl,
         "q_quality_classifier": _q_quality_classifier,
         "q_sitemap_scan": _q_sitemap_scan,
+        "q_html_main_text": _q_html_main_text,
+        "q_anchor_profile": _q_anchor_profile,
         "q_range_join": _q_range_join,
         "q_temperature_sample": _q_temperature_sample,
         "q_crawl_delta": _q_crawl_delta,
@@ -2068,6 +2138,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM (SELECT * FROM u UNION ALL SELECT * FROM s)
             ORDER BY kind, loc
+        """,
+        "q_html_main_text": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   lang || ' document ' || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN len(string_split(t, ' ')) >= 3 AND t <> ''
+                           THEN chr(10) || t ELSE '' END
+                   || chr(10) || 'Contact & imprint: mail me' AS main_text,
+                   CAST(CASE WHEN len(string_split(t, ' ')) >= 3 AND t <> ''
+                             THEN 3 ELSE 2 END AS BIGINT) AS n_blocks_kept
+            FROM d ORDER BY doc_id
+        """,
+        "q_anchor_profile": """
+            WITH a AS (
+              SELECT doc_id,
+                     'https://t' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/' AS href,
+                     'site ' || CAST(doc_id % 3 AS VARCHAR) AS anchor_text
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     'https://t' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.com/',
+                     'visit ' || CAST(doc_id % 2 AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     'https://t' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/',
+                     'again'
+              FROM documents
+            ), pt AS (
+              SELECT href, anchor_text, count(*) AS n FROM a GROUP BY 1, 2
+            ), tops AS (
+              SELECT href, anchor_text AS top_anchor,
+                     row_number() OVER (PARTITION BY href
+                                        ORDER BY n DESC, anchor_text) AS rn
+              FROM pt
+            ), agg AS (
+              SELECT href, CAST(count(*) AS BIGINT) AS n_links,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM a GROUP BY 1
+            )
+            SELECT agg.href, n_links, n_docs, top_anchor
+            FROM agg JOIN tops USING (href) WHERE rn = 1
+            ORDER BY agg.href
         """,
         "q_range_join": """
             WITH iv AS (
