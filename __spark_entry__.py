@@ -1338,6 +1338,83 @@ def _q_anchor_profile(spark, sf):
     return html_mod.anchor_profile(anchors).orderBy("href")
 
 
+def _q_passage_dedup(spark, sf):
+    """Cross-document duplicated-passage spans (dedup.duplicate_passages):
+    a fixed 9-token passage is appended to every 5th document so copied
+    passages exist at known offsets alongside any natural 8-gram
+    collisions; the oracle recomputes the rolling md5 window keys, the
+    skew-immune min!=max duplicate test, and the gaps-and-islands span
+    merge in SQL."""
+    from post_processor_spark.analytics import dedup as dedup_mod
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" alpha beta gamma delta epsilon zeta eta theta iota"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = dedup_mod.duplicate_passages(d, k=8, stride=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    ).orderBy("doc_id", "span_start")
+
+
+def _q_warc_scan(spark, sf):
+    """WARC ingestion (sources.parse_warc): each source's docs are
+    serialized into a real multi-record WARC file (one warcinfo record +
+    one CRLF-framed response record per doc), then parsed back with the
+    columnar record/header algebra. The oracle derives the same rows
+    relationally — the value hash pins serialize→parse as the identity,
+    including the declared Content-Length."""
+    from post_processor_spark import sources as src_mod
+
+    d = _t(spark, sf, "documents")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://"),
+        F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-03-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z\r\nContent-Length: "),
+        F.length("text").cast("string"),
+        F.lit("\r\n\r\n"), F.col("text"), F.lit("\r\n\r\n"),
+    )
+    files = (
+        d.select("source", "doc_id", rec.alias("rec"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit(
+                    "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 25"
+                    "\r\n\r\nsoftware: pps-crawler/1.0\r\n\r\n"
+                ),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                        lambda x: x["rec"],
+                    ),
+                    "",
+                ),
+            ).alias("content")
+        )
+        .select(F.col("source").alias("warc_id"), "content")
+    )
+    parsed = src_mod.parse_warc(files)
+    return parsed.select(
+        "warc_id",
+        F.col("rec_idx").cast("long").alias("rec_idx"),
+        "rec_type", "target_uri", "warc_date", "content_length",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("warc_id", "rec_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/filters/projections/aggregations (S*, P*, A*, O*)
@@ -1406,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap_scan": _q_sitemap_scan,
         "q_html_main_text": _q_html_main_text,
         "q_anchor_profile": _q_anchor_profile,
+        "q_passage_dedup": _q_passage_dedup,
+        "q_warc_scan": _q_warc_scan,
         "q_range_join": _q_range_join,
         "q_temperature_sample": _q_temperature_sample,
         "q_crawl_delta": _q_crawl_delta,
@@ -2185,6 +2264,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.href, n_links, n_docs, top_anchor
             FROM agg JOIN tops USING (href) WHERE rn = 1
             ORDER BY agg.href
+        """,
+        "q_warc_scan": """
+            WITH r AS (
+              SELECT source AS warc_id,
+                     CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                          AS BIGINT) AS rec_idx,
+                     'response' AS rec_type,
+                     'https://' || source || '.example.com/doc/'
+                       || CAST(doc_id AS VARCHAR) AS target_uri,
+                     '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       || 'T00:00:00Z' AS warc_date,
+                     CAST(len(text) AS BIGINT) AS content_length,
+                     md5(text) AS payload_md5
+              FROM documents
+            ), w AS (
+              SELECT DISTINCT source AS warc_id, CAST(0 AS BIGINT) AS rec_idx,
+                     'warcinfo' AS rec_type, CAST(NULL AS VARCHAR) AS target_uri,
+                     CAST(NULL AS VARCHAR) AS warc_date,
+                     CAST(25 AS BIGINT) AS content_length,
+                     md5('software: pps-crawler/1.0') AS payload_md5
+              FROM documents
+            )
+            SELECT * FROM (SELECT * FROM w UNION ALL SELECT * FROM r)
+            ORDER BY warc_id, rec_idx
+        """,
+        "q_passage_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0
+                                  THEN ' alpha beta gamma delta epsilon zeta eta theta iota'
+                                  ELSE '' END AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM d
+            ), w0 AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 7, 2)) AS pos
+              FROM t WHERE len(toks) >= 8
+            ), w AS (
+              SELECT doc_id, pos,
+                     md5(array_to_string(list_slice(toks, pos, pos + 7), ' ')) AS wk
+              FROM w0
+            ), dupkeys AS (
+              SELECT wk FROM w GROUP BY wk HAVING min(doc_id) <> max(doc_id)
+            ), hits AS (
+              SELECT doc_id, pos FROM w WHERE wk IN (SELECT wk FROM dupkeys)
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS new_isl
+              FROM hits
+            ), isl2 AS (
+              SELECT doc_id, pos,
+                     sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 8 AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl2 GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
         """,
         "q_range_join": """
             WITH iv AS (

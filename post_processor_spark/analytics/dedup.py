@@ -712,3 +712,97 @@ def dedup_lines(
         for c in docs.columns
     ]
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated-passage detection (window dedup)
+# ---------------------------------------------------------------------------
+
+def passage_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """(id, pos, wk): rolling k-token window keys per document. pos is
+    the 1-based token index of the window start (step = stride); wk is
+    md5 of the space-joined window — engine-portable so the DuckDB
+    oracle recomputes keys bit-for-bit. Docs shorter than k tokens emit
+    no windows. Map + explode, no shuffle; the fan-out is
+    ~tokens/stride rows per document, so partitions stay balanced
+    without a repartition."""
+    if k <= 0 or stride <= 0:
+        raise ValueError(f"k and stride must be > 0: k={k} stride={stride}")
+    toks = F.filter(norm_tokens(F.col(text_col)), lambda t: t != "")
+    n = F.size(toks)
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k) + 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("wk"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(wins).alias("w")
+    ).select("id", F.col("w.pos").alias("pos"), F.col("w.wk").alias("wk"))
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    stride: int = 4,
+    within_doc: bool = False,
+) -> DataFrame:
+    """Duplicated-passage spans: for every document, the merged token
+    ranges [span_start, span_end) (1-based, end exclusive) covered by
+    k-token windows that also occur in ANOTHER document (within_doc=True
+    additionally flags windows repeated inside one document). This is
+    the passage-level complement to dedup_lines (exact lines) and
+    MinHash (whole-doc near-dup): it catches copied paragraphs embedded
+    in otherwise-unique pages, the public exact-substring-dedup recipe
+    (Lee et al. 2022) at window granularity.
+
+    Plan shape at 100 TB: windows explode map-side (~tokens/stride
+    rows); duplicate keys come from groupBy(wk).agg(min(id), max(id)
+    [, count]) — fully partial-aggregable, so a boilerplate window
+    repeated 10^9 times combines to one row per map task and NEVER
+    concentrates on one reducer (this is why the cross-doc test is
+    min!=max, not countDistinct, whose expand would double the
+    exchange); then one equi-semi-join back on wk and a per-doc
+    gaps-and-islands merge (window over (id, pos) — bounded by windows
+    per doc). Three exchanges total, every one on a well-distributed
+    key. Output: (id_col, span_start, span_end, n_windows)."""
+    wins = passage_windows(docs, text_col, id_col, k=k, stride=stride)
+    aggs = [F.min("id").alias("_min_id"), F.max("id").alias("_max_id")]
+    if within_doc:
+        aggs.append(F.count("*").alias("_n"))
+    keys = wins.groupBy("wk").agg(*aggs)
+    cond = F.col("_min_id") != F.col("_max_id")
+    if within_doc:
+        cond = cond | (F.col("_n") > 1)
+    dup = keys.filter(cond).select("wk")
+    hits = wins.join(dup, "wk", "semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_new", F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        islands.groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "n_windows"
+        )
+    )

@@ -590,3 +590,80 @@ def sitemap_seeds(parsed: DataFrame, priority_classes: int = 8) -> DataFrame:
         (F.xxhash64("loc").bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)))
         .alias("seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC (Web ARChive) text-mode record parsing
+# ---------------------------------------------------------------------------
+
+def parse_warc(
+    df: DataFrame, content_col: str = "content", id_col: str = "warc_id"
+) -> DataFrame:
+    """Parse WARC files (already loaded as whole-file strings, e.g.
+    spark.read.text with wholetext, or decoded binaryFile content) into
+    one row per record: (id_col, rec_idx, rec_type, target_uri,
+    warc_date, content_length, payload).
+
+    WARC is the public interchange format for crawl captures — the
+    crawler-side raw-HTML feed the reference consumes as `html_content`
+    (/root/reference/processor/post_processor/processor_domain.py:60-66).
+    Text-mode columnar parse, all JVM string algebra (map + explode, no
+    Python, no shuffle; a shard of WARC files parses embarrassingly
+    parallel):
+
+    - records split on the `WARC/1.0` version line (CRLF and LF both
+      accepted); rec_idx is the 0-based record index within the file
+    - header block = lines before the first blank line; the canonical
+      headers are pulled with anchored multiline regexes (first-colon
+      split semantics), which also sidesteps duplicate-header-key map
+      failures — WARC tolerates repeated headers
+    - payload = everything after the blank line, minus the trailing
+      newline padding that separates records (stripped uniformly)
+    - content_length is the DECLARED header value (cast long); compare
+      with length(payload) to detect truncation, a crawler's usual
+      integrity check.
+
+    Malformed chunks (no headers, no blank line) yield rows with null
+    fields rather than failing — tolerant-reader semantics like the
+    reference's CSV/JSON ingest.
+    """
+    def _hdr(name: str):
+        v = F.regexp_extract(
+            F.col("_hdr"), r"(?mi)^" + name + r":[ \t]*([^\r\n]*?)[ \t]*$", 1
+        )
+        return F.when(v == "", F.lit(None).cast("string")).otherwise(v)
+
+    recs = F.split(F.col(content_col), r"(?:\r?\n)*WARC/1\.0\r?\n")
+    parts = df.select(
+        F.col(id_col), F.posexplode(recs).alias("_pos", "_rec")
+    ).filter((F.col("_pos") >= 1) & (F.trim(F.col("_rec")) != ""))
+    split2 = F.split(F.col("_rec"), r"\r?\n\r?\n", 2)
+    parts = parts.select(
+        id_col,
+        (F.col("_pos") - 1).alias("rec_idx"),
+        F.element_at(split2, 1).alias("_hdr"),
+        F.regexp_replace(
+            F.coalesce(F.element_at(split2, 2), F.lit("")), r"[\r\n]+$", ""
+        ).alias("payload"),
+    )
+    return parts.select(
+        id_col,
+        "rec_idx",
+        _hdr("WARC-Type").alias("rec_type"),
+        _hdr("WARC-Target-URI").alias("target_uri"),
+        _hdr("WARC-Date").alias("warc_date"),
+        _hdr("Content-Length").cast("long").alias("content_length"),
+        "payload",
+    )
+
+
+def warc_documents(parsed: DataFrame) -> DataFrame:
+    """response-records view of parse_warc output, shaped like the
+    domain ingest's (url, html_content) feed — plug into
+    ingest.domain_docs_to_documents-style pipelines."""
+    return parsed.filter(F.col("rec_type") == "response").select(
+        F.col("target_uri").alias("url"),
+        F.col("payload").alias("html_content"),
+        "content_length",
+        (F.length("payload") == F.col("content_length")).alias("length_ok"),
+    )

@@ -424,3 +424,57 @@ def test_sitemap_parse_and_seeds(spark):
     fr = frontier.seeds_to_frontier(seeds)
     assert fr.count() == 3
     assert set(frontier.ORDER_COLS) <= set(fr.columns)
+
+
+def test_parse_warc_records(spark):
+    """WARC text-mode parse: CRLF + LF records, 0-based rec_idx, header
+    extraction at the first colon, declared-length integrity check,
+    malformed files yield no rows (sources.parse_warc — the public
+    interchange form of the reference's html_content capture feed)."""
+    from post_processor_spark import sources
+
+    warc = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        "Content-Length: 25\r\n"
+        "\r\n"
+        "software: pps-crawler/1.0\r\n"
+        "\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://a.example.com/x\r\n"
+        "WARC-Date: 2024-03-01T00:00:01Z\r\n"
+        "Content-Length: 21\r\n"
+        "\r\n"
+        "<html>hi: there</html>\r\n"   # payload contains a colon
+        "\r\n"
+        "WARC/1.0\n"                    # LF-only record
+        "WARC-Type: response\n"
+        "WARC-Target-URI: https://b.example.com/y\n"
+        "Content-Length: 4\n"
+        "\n"
+        "text\n\n"
+    )
+    df = spark.createDataFrame(
+        [("f1", warc), ("f2", "garbage, no version line")],
+        "warc_id string, content string",
+    )
+    out = sources.parse_warc(df)
+    rows = out.orderBy("warc_id", "rec_idx").collect()
+    assert [r["warc_id"] for r in rows] == ["f1", "f1", "f1"]
+    assert [r["rec_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["rec_type"] == "warcinfo"
+    assert rows[0]["target_uri"] is None
+    assert rows[0]["payload"] == "software: pps-crawler/1.0"
+    assert rows[1]["target_uri"] == "https://a.example.com/x"
+    assert rows[1]["payload"] == "<html>hi: there</html>"
+    assert rows[1]["content_length"] == 21
+    assert rows[2]["target_uri"] == "https://b.example.com/y"
+    assert rows[2]["warc_date"] is None  # header absent → null
+    assert rows[2]["payload"] == "text"
+
+    docs = {r["url"]: r for r in sources.warc_documents(out).collect()}
+    assert set(docs) == {"https://a.example.com/x", "https://b.example.com/y"}
+    assert docs["https://a.example.com/x"]["length_ok"] is False  # 22 chars != 21
+    assert docs["https://b.example.com/y"]["length_ok"] is True
