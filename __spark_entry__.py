@@ -1415,6 +1415,44 @@ def _q_warc_scan(spark, sf):
     ).orderBy("warc_id", "rec_idx")
 
 
+def _q_url_traps(spark, sf):
+    """Crawl-trap URL scoring (canon.url_trap_signals / is_crawl_trap):
+    synthesized URLs exercise every signal — repeated path segments,
+    parameter explosions, session-id markers — and the oracle derives
+    each signal relationally from the same construction, so the value
+    hash pins the columnar URL-shape parse."""
+    from post_processor_spark import canon as canon_mod
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/"),
+        F.repeat(F.lit("sec/"), (F.col("doc_id") % 8).cast("int")),
+        F.lit("page"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(";jsessionid=x9"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("?"),
+                F.repeat(F.lit("a=1&"), (F.col("doc_id") % 13).cast("int")),
+                F.lit("z=9"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    s = canon_mod.url_trap_signals(F.col("url"))
+    return u.select(
+        "doc_id", "url",
+        s["depth"].cast("long").alias("depth"),
+        s["max_repeat"].cast("long").alias("max_repeat"),
+        s["n_params"].cast("long").alias("n_params"),
+        s["url_len"].cast("long").alias("url_len"),
+        s["has_session"].alias("has_session"),
+        canon_mod.is_crawl_trap(F.col("url")).alias("is_trap"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/filters/projections/aggregations (S*, P*, A*, O*)
@@ -1485,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_profile": _q_anchor_profile,
         "q_passage_dedup": _q_passage_dedup,
         "q_warc_scan": _q_warc_scan,
+        "q_url_traps": _q_url_traps,
         "q_range_join": _q_range_join,
         "q_temperature_sample": _q_temperature_sample,
         "q_crawl_delta": _q_crawl_delta,
@@ -2264,6 +2303,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.href, n_links, n_docs, top_anchor
             FROM agg JOIN tops USING (href) WHERE rn = 1
             ORDER BY agg.href
+        """,
+        "q_url_traps": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/'
+                     || repeat('sec/', CAST(doc_id % 8 AS INT)) || 'page'
+                     || CASE WHEN doc_id % 11 = 0 THEN ';jsessionid=x9' ELSE '' END
+                     || CASE WHEN doc_id % 6 = 0
+                             THEN '?' || repeat('a=1&', CAST(doc_id % 13 AS INT)) || 'z=9'
+                             ELSE '' END AS url,
+                     doc_id % 8 AS k,
+                     CASE WHEN doc_id % 6 = 0 THEN doc_id % 13 + 1 ELSE 0 END AS np
+              FROM documents
+            )
+            SELECT doc_id, url,
+                   CAST(k + 1 AS BIGINT) AS depth,
+                   CAST(greatest(k, 1) AS BIGINT) AS max_repeat,
+                   CAST(np AS BIGINT) AS n_params,
+                   CAST(len(url) AS BIGINT) AS url_len,
+                   (doc_id % 11 = 0) AS has_session,
+                   (k + 1 > 12 OR greatest(k, 1) >= 3 OR np > 10
+                    OR len(url) > 512 OR doc_id % 11 = 0) AS is_trap
+            FROM u ORDER BY doc_id
         """,
         "q_warc_scan": """
             WITH r AS (

@@ -53,6 +53,9 @@ HEADLINE_QUERIES = [
     "q_token_budget",
     "q_asof_join",
     "q_recrawl",
+    "q_html_main_text",
+    "q_passage_dedup",
+    "q_warc_scan",
     "q_pagerank",
     "q_frontier_schedule",
     "q_seen_filter",

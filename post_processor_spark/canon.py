@@ -448,3 +448,77 @@ def with_canonical(df, url_col: str = "url", prefix: str = ""):
         .withColumn(prefix + "host_hash", host_hash(F.col(prefix + "host")))
     )
     return staged.drop("_nf", "_rest")
+
+
+# ---------------------------------------------------------------------------
+# crawl-trap URL detection (frontier admission heuristic)
+# ---------------------------------------------------------------------------
+
+# session-id markers that mint unbounded URL aliases for one page —
+# classic crawler blocklist (public Heritrix/Nutch trap lore)
+SESSION_MARKERS = ["jsessionid", "phpsessid", "sessionid", "session_id", "sid="]
+
+
+def url_trap_signals(url: Column) -> dict:
+    """Columnar URL-shape signals for crawl-trap detection, reusing the
+    single-pass _parse_url decomposition (no extra full-string regex
+    scans in the frontier hot path):
+
+    - depth: number of non-empty path segments
+    - max_repeat: highest multiplicity of one path segment — calendar /
+      mirror loops mint /a/b/a/b/a... paths (O(d^2) array compare on a
+      short segments array, still pure JVM)
+    - n_params: query parameters ('&'-separated)
+    - url_len: total URL length
+    - has_session: a session-id marker appears anywhere in the URL
+
+    All map-only expressions: a 10^10-row frontier scores without a
+    shuffle, and the filter composes with the scope/robots gates.
+    """
+    p = _parse_url(url)
+    rest = F.substring_index(p["rest"], "#", 1)
+    qpos = F.locate("?", rest)
+    path = F.when(qpos > 0, F.substr(rest, F.lit(1), qpos - 1)).otherwise(rest)
+    query = F.when(qpos > 0, F.substr(rest, qpos + 1)).otherwise(F.lit(""))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth = F.size(segs)
+    max_repeat = F.when(depth == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(segs, lambda s: F.size(F.filter(segs, lambda x: x == s)))
+        )
+    )
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    low = F.lower(url)
+    has_session = F.lit(False)
+    for m in SESSION_MARKERS:
+        has_session = has_session | F.contains(low, F.lit(m))
+    return {
+        "depth": depth,
+        "max_repeat": max_repeat,
+        "n_params": n_params,
+        "url_len": F.length(url),
+        "has_session": has_session,
+    }
+
+
+def is_crawl_trap(
+    url: Column,
+    max_depth: int = 12,
+    max_repeat: int = 3,
+    max_params: int = 10,
+    max_len: int = 512,
+) -> Column:
+    """True when any URL-shape signal crosses its trap threshold.
+    Apply as a frontier admission filter (filter(~is_crawl_trap(url)))
+    BEFORE the seen-set anti-join, so trap families never enter the
+    pending set or the bloom at 10^10 scale."""
+    s = url_trap_signals(url)
+    return (
+        (s["depth"] > max_depth)
+        | (s["max_repeat"] >= max_repeat)
+        | (s["n_params"] > max_params)
+        | (s["url_len"] > max_len)
+        | s["has_session"]
+    )

@@ -207,3 +207,38 @@ def test_host_matches_urlparse_on_random_urls(spark):
     for u, g in zip(urls, got):
         expect = (urlparse(u).hostname or "").lower()
         assert g == expect, f"{u}: {g!r} != {expect!r}"
+
+
+def test_crawl_trap_signals_and_gate(spark):
+    """URL-shape trap heuristics (canon.url_trap_signals/is_crawl_trap):
+    repeated-segment loops, parameter explosions, session ids, deep
+    paths, and oversized URLs trip the gate; normal URLs do not."""
+    from post_processor_spark import canon
+
+    cases = [
+        # (url, depth, max_repeat, n_params, has_session, is_trap)
+        ("https://a.com/x/y/page", 3, 1, 0, False, False),
+        ("https://a.com/", 0, 0, 0, False, False),
+        ("https://a.com/a/b/a/b/a/page?q=1&r=2", 6, 3, 2, False, True),
+        ("https://a.com/p?" + "&".join(f"k{i}=v" for i in range(11)),
+         1, 1, 11, False, True),
+        ("https://a.com/p;JSESSIONID=ABC", 1, 1, 0, True, True),
+        ("https://a.com/" + "/".join(f"d{i}" for i in range(13)) + "/p",
+         14, 1, 0, False, True),
+        ("https://a.com/p?x=" + "y" * 600, 1, 1, 1, False, True),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+    from pyspark.sql import functions as F
+
+    s = canon.url_trap_signals(F.col("url"))
+    out = df.select(
+        "url", s["depth"].alias("d"), s["max_repeat"].alias("r"),
+        s["n_params"].alias("np"), s["has_session"].alias("hs"),
+        canon.is_crawl_trap(F.col("url")).alias("trap"),
+    )
+    got = {r["url"]: r for r in out.collect()}
+    for u, d, rep, np_, hs, trap in cases:
+        r = got[u]
+        assert (r["d"], r["r"], r["np"], r["hs"], r["trap"]) == (
+            d, rep, np_, hs, trap
+        ), u
