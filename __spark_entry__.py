@@ -1453,6 +1453,47 @@ def _q_url_traps(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_robots_txt(spark, sf):
+    """robots.txt ingestion (sources.parse_robots_txt): one synthetic
+    robots.txt per source — wildcard group with Allow/Disallow/
+    Crawl-delay, a mediacat-specific group on every even source, and a
+    host-global Sitemap line — parsed for agent='mediacat'. The oracle
+    derives the selected-group output relationally; the value hash pins
+    group splitting, agent selection (specific replaces wildcard), and
+    the robots→sitemap bridge."""
+    from post_processor_spark import sources as src_mod
+
+    hosts = _t(spark, sf, "documents").select("source").distinct()
+    n = F.substring("source", 4, 10).cast("int")
+    content = F.concat(
+        F.lit(
+            "# synthetic robots\nUser-agent: *\nDisallow: /private\n"
+            "Allow: /private/ok\nCrawl-delay: "
+        ),
+        ((n % 5) + 1).cast("string"),
+        F.lit("\n\n"),
+        F.when(
+            n % 2 == 0,
+            F.lit("User-agent: mediacat\nDisallow: /mc-only\n\n"),
+        ).otherwise(F.lit("")),
+        F.lit("Sitemap: https://"), F.col("source"),
+        F.lit(".example.com/sitemap.xml\n"),
+    )
+    df = hosts.select(F.col("source").alias("host"), content.alias("content"))
+    p = src_mod.parse_robots_txt(df, agent="mediacat")
+    # arrays joined to strings and the nullable double coalesced: the
+    # driver compare fetches DuckDB through pandas, where LIST becomes a
+    # numpy array and a NULL double becomes NaN (same convention as
+    # q_sitemap_scan's priority coalesce)
+    return p.select(
+        "host",
+        F.array_join("disallow", "|").alias("disallow"),
+        F.array_join("allow", "|").alias("allow"),
+        F.coalesce("crawl_delay", F.lit(-1.0)).alias("crawl_delay"),
+        F.array_join("sitemaps", "|").alias("sitemaps"),
+    ).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/filters/projections/aggregations (S*, P*, A*, O*)
@@ -1524,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_passage_dedup": _q_passage_dedup,
         "q_warc_scan": _q_warc_scan,
         "q_url_traps": _q_url_traps,
+        "q_robots_txt": _q_robots_txt,
         "q_range_join": _q_range_join,
         "q_temperature_sample": _q_temperature_sample,
         "q_crawl_delta": _q_crawl_delta,
@@ -2303,6 +2345,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.href, n_links, n_docs, top_anchor
             FROM agg JOIN tops USING (href) WHERE rn = 1
             ORDER BY agg.href
+        """,
+        "q_robots_txt": """
+            WITH s AS (SELECT DISTINCT source FROM documents),
+                 x AS (SELECT source, CAST(substr(source, 4) AS INT) AS n FROM s)
+            SELECT source AS host,
+                   CASE WHEN n % 2 = 0 THEN '/mc-only'
+                        ELSE '/private' END AS disallow,
+                   CASE WHEN n % 2 = 0 THEN ''
+                        ELSE '/private/ok' END AS allow,
+                   CASE WHEN n % 2 = 0 THEN -1.0
+                        ELSE CAST(n % 5 + 1 AS DOUBLE) END AS crawl_delay,
+                   'https://' || source || '.example.com/sitemap.xml' AS sitemaps
+            FROM x ORDER BY host
         """,
         "q_url_traps": """
             WITH u AS (

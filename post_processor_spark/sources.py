@@ -22,7 +22,7 @@ Reference behaviors re-expressed:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -667,3 +667,143 @@ def warc_documents(parsed: DataFrame) -> DataFrame:
         "content_length",
         (F.length("payload") == F.col("content_length")).alias("length_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt text parsing (raw fetch payload → frontier rule tables)
+# ---------------------------------------------------------------------------
+
+def parse_robots_txt(
+    df: DataFrame,
+    content_col: str = "content",
+    host_col: str = "host",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse raw robots.txt payloads into the structured per-host frame
+    the frontier consumes: (host, disallow: array<string>, allow:
+    array<string>, crawl_delay: double, sitemaps: array<string>).
+
+    RFC 9309 semantics, simplified the way real crawlers do:
+    - '#' comments stripped, blank lines ignored, 'Field: value' split
+      at the FIRST colon (sitemap URLs keep their scheme colon)
+    - consecutive User-agent lines open ONE group; rules that follow
+      belong to all of that group's agents
+    - the crawler takes the group(s) naming `agent` exactly
+      (case-insensitive) when any exist, else the '*' group(s) —
+      specific-agent groups REPLACE the wildcard, never merge
+    - empty Disallow: values (allow-all idiom) are dropped
+    - Sitemap: lines are host-global regardless of grouping; feed them
+      to the fetch loop and sources.parse_sitemaps (the robots →
+      sitemap → frontier-seed bridge)
+    - crawl_delay is the min across selected groups (defensive when a
+      malformed file repeats it), null when absent
+
+    Scale shape: one row per host in, explode + host-keyed window/agg —
+    the robots table is tiny next to the frontier (one row per HOST,
+    not per URL), so these exchanges are noise; the output plugs into
+    frontier.apply_robots (broadcast) and frontier host_delays.
+    Output row order and array order are deterministic (file order).
+    """
+    lines = F.split(F.col(content_col), r"\r?\n")
+    raw = df.select(F.col(host_col).alias("host"),
+                    F.posexplode(lines).alias("pos", "raw"))
+    line = F.trim(F.substring_index(F.col("raw"), "#", 1))
+    parsed = (
+        raw.select("host", "pos", line.alias("line"))
+        .filter((F.col("line") != "") & F.col("line").contains(":"))
+        .select(
+            "host",
+            "pos",
+            F.lower(F.trim(F.substring_index("line", ":", 1))).alias("field"),
+            F.trim(F.regexp_replace("line", r"^[^:]*:", "")).alias("value"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("field") == "user-agent").cast("int")
+    prev_ua = F.lag(is_ua, 1, 0).over(w)
+    parsed = parsed.withColumn(
+        "gid", F.sum(((is_ua == 1) & (prev_ua == 0)).cast("long")).over(w)
+    )
+
+    ua = parsed.filter(F.col("field") == "user-agent").groupBy(
+        "host", "gid"
+    ).agg(
+        F.max((F.lower(F.col("value")) == agent.lower()).cast("int")).alias("has_agent"),
+        F.max((F.col("value") == "*").cast("int")).alias("has_star"),
+    )
+    host_spec = ua.groupBy("host").agg(F.max("has_agent").alias("host_has_agent"))
+    sel = (
+        ua.join(host_spec, "host")
+        .filter(
+            ((F.col("host_has_agent") == 1) & (F.col("has_agent") == 1))
+            | ((F.col("host_has_agent") == 0) & (F.col("has_star") == 1))
+        )
+        .select("host", "gid")
+    )
+
+    def _ordered(values):
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "value"))),
+            lambda s: s["value"],
+        )
+
+    rules = (
+        parsed.join(sel, ["host", "gid"])
+        .filter(F.col("field").isin("disallow", "allow", "crawl-delay"))
+    )
+    per_host = rules.groupBy("host").agg(
+        F.filter(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            (F.col("field") == "disallow") & (F.col("value") != ""),
+                            F.struct("pos", "value"),
+                        )
+                    )
+                ),
+                lambda s: s["value"],
+            ),
+            lambda v: v.isNotNull(),
+        ).alias("disallow"),
+        F.filter(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            (F.col("field") == "allow") & (F.col("value") != ""),
+                            F.struct("pos", "value"),
+                        )
+                    )
+                ),
+                lambda s: s["value"],
+            ),
+            lambda v: v.isNotNull(),
+        ).alias("allow"),
+        F.min(
+            F.when(F.col("field") == "crawl-delay", F.col("value").cast("double"))
+        ).alias("crawl_delay"),
+    )
+    sitemaps = (
+        parsed.filter(F.col("field") == "sitemap")
+        .groupBy("host")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "value"))),
+                lambda s: s["value"],
+            ).alias("sitemaps")
+        )
+    )
+    hosts = df.select(F.col(host_col).alias("host")).distinct()
+    out = (
+        hosts.join(per_host, "host", "left")
+        .join(sitemaps, "host", "left")
+        .select(
+            "host",
+            F.coalesce("disallow", F.array().cast("array<string>")).alias("disallow"),
+            F.coalesce("allow", F.array().cast("array<string>")).alias("allow"),
+            "crawl_delay",
+            F.coalesce("sitemaps", F.array().cast("array<string>")).alias("sitemaps"),
+        )
+    )
+    return out

@@ -478,3 +478,68 @@ def test_parse_warc_records(spark):
     assert set(docs) == {"https://a.example.com/x", "https://b.example.com/y"}
     assert docs["https://a.example.com/x"]["length_ok"] is False  # 22 chars != 21
     assert docs["https://b.example.com/y"]["length_ok"] is True
+
+
+def test_parse_robots_txt_groups_and_agent_selection(spark):
+    """robots.txt parse (sources.parse_robots_txt): comment strip,
+    first-colon split, consecutive-UA shared groups, specific-agent
+    groups REPLACING the wildcard, empty-Disallow drop, host-global
+    Sitemap lines, crawl-delay only from selected groups."""
+    from post_processor_spark import sources
+
+    txt1 = (
+        "# global rules\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Crawl-delay: 2.5\n"
+        "\n"
+        "User-agent: MediaCat\n"   # case-insensitive agent match
+        "User-agent: otherbot\n"
+        "Disallow: /mc-only\n"
+        "Disallow:\n"              # allow-all idiom -> dropped
+        "\n"
+        "Sitemap: https://a.com/sitemap.xml\n"
+        "Sitemap: https://a.com/sitemap2.xml\n"
+    )
+    txt2 = "User-agent: *\nDisallow: /x\n"
+    df = spark.createDataFrame(
+        [("a.com", txt1), ("b.com", txt2), ("c.com", "junk\nno rules here")],
+        "host string, content string",
+    )
+
+    star = {r["host"]: r for r in sources.parse_robots_txt(df).collect()}
+    assert star["a.com"]["disallow"] == ["/private"]
+    assert star["a.com"]["allow"] == ["/private/ok"]
+    assert star["a.com"]["crawl_delay"] == 2.5
+    assert star["a.com"]["sitemaps"] == [
+        "https://a.com/sitemap.xml", "https://a.com/sitemap2.xml",
+    ]
+    assert star["b.com"]["disallow"] == ["/x"]
+    assert star["c.com"]["disallow"] == [] and star["c.com"]["sitemaps"] == []
+
+    mc = {r["host"]: r
+          for r in sources.parse_robots_txt(df, agent="mediacat").collect()}
+    assert mc["a.com"]["disallow"] == ["/mc-only"]   # replaces wildcard
+    assert mc["a.com"]["allow"] == []
+    assert mc["a.com"]["crawl_delay"] is None        # not in selected group
+    assert mc["a.com"]["sitemaps"] == [
+        "https://a.com/sitemap.xml", "https://a.com/sitemap2.xml",
+    ]
+    assert mc["b.com"]["disallow"] == ["/x"]         # falls back to *
+
+    # the output frame plugs straight into frontier.apply_robots
+    from post_processor_spark import frontier
+    cand = spark.createDataFrame(
+        [("https://a.com/mc-only/x", "a.com"), ("https://a.com/fine", "a.com")],
+        "canonical_url string, host string",
+    )
+    gated = frontier.apply_robots(
+        cand, sources.parse_robots_txt(df, agent="mediacat")
+        .select("host", "disallow", "allow")
+    )
+    got = {r["canonical_url"]: r["robots_blocked"] for r in gated.collect()}
+    assert got == {
+        "https://a.com/mc-only/x": True,
+        "https://a.com/fine": False,
+    }
