@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from post_processor_spark import canon, frontier  # noqa: E402
 from post_processor_spark.analytics import (  # noqa: E402
-    clean, decontam, dedup, graph, multimodal, packing, pii, sampling,
-    similarity, text,
+    clean, decontam, dedup, graph, index, multimodal, packing, pii, report,
+    sampling, similarity, text,
 )
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -1494,6 +1494,70 @@ def _q_robots_txt(spark, sf):
     ).orderBy("host")
 
 
+def _q_redirect_resolve(spark, sf):
+    """Redirect-chain resolution (graph.redirect_resolve, pointer
+    doubling): doc ids at multiples of 5 are terminals, every other id
+    redirects one step down (chains of length ≤ 4); three synthetic
+    hosts form a pure 3-cycle plus one tail edge leading into it. The
+    oracle walks the same edge set with a recursive CTE; cycle rows
+    surface as final=''/hops=-1 (coalesced — the driver compare turns
+    a nullable int into NaN through pandas)."""
+    d = _t(spark, sf, "documents")
+    chain = d.where(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("u"), F.col("doc_id")).alias("src"),
+        F.concat(F.lit("u"), F.col("doc_id") - 1).alias("dst"),
+    )
+    extra = spark.createDataFrame(
+        [("c0", "c1"), ("c1", "c2"), ("c2", "c0"), ("t0", "c0")],
+        "src string, dst string",
+    )
+    res = graph.redirect_resolve(chain.unionByName(extra))
+    return res.select(
+        "src",
+        F.coalesce("final", F.lit("")).alias("final"),
+        F.coalesce("hops", F.lit(-1)).cast("long").alias("hops"),
+        "is_cycle",
+    ).orderBy("src")
+
+
+def _q_hits(spark, sf):
+    """HITS hubs/authorities (graph.hits) over the deterministic
+    referral edge graph (same rule as q_pagerank): 3 iterations,
+    L1-normalized half-steps. Oracle = the same rounds unrolled as
+    chained DuckDB CTEs; round(9) on both sides absorbs float sum-order
+    noise exactly as in q_pagerank."""
+    d = _t(spark, sf, "documents")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(_seq1((F.col("doc_id") % 4).cast("int"))).alias("k"),
+    ).select("src", ((F.col("src") * 7 + F.col("k")) % n).alias("dst"))
+    nodes = d.select(F.col("doc_id").alias("id"))
+    hh = graph.hits(nodes, edges, iterations=3)
+    return hh.select(
+        F.col("id").alias("doc_id"),
+        F.round("authority", 9).alias("authority"),
+        F.round("hub", 9).alias("hub"),
+    ).orderBy("doc_id")
+
+
+def _q_domain_mix(spark, sf):
+    """Corpus composition report (report.domain_mix_report): per-source
+    doc/token/char totals, token share of the whole corpus, language
+    count and dominant language (ties to the smallest code)."""
+    return report.domain_mix_report(_t(spark, sf, "documents")).orderBy("source")
+
+
+def _q_inverted_index(spark, sf):
+    """Inverted-index build (index.inverted_index): token → df/tf +
+    sorted posting list over documents, min_df=5. Postings serialized
+    to JSON on both sides for the array-safe driver compare."""
+    idx = index.inverted_index(_t(spark, sf, "documents"), min_df=5)
+    return idx.select(
+        "token", "df", "tf", F.to_json("postings").alias("postings")
+    ).orderBy("token")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/filters/projections/aggregations (S*, P*, A*, O*)
@@ -1533,6 +1597,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_keep_best": _q_neardup_keep_best,
         "q_interest_ranking": _q_interest_ranking,
         "q_pagerank": _q_pagerank,
+        "q_hits": _q_hits,
+        "q_redirect_resolve": _q_redirect_resolve,
+        "q_domain_mix": _q_domain_mix,
+        "q_inverted_index": _q_inverted_index,
         "q_record_dedup_desc": _q_record_dedup_desc,
         "q_scope_gate": _q_scope_gate,
         # frontier core (oracle-checked: results are exact windows/anti-joins)
@@ -1626,6 +1694,61 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
     parts.append(
         f"SELECT id AS doc_id, round(r, 9) AS pagerank FROM {prev} ORDER BY doc_id"
     )
+    return "\n".join(parts)
+
+
+def _hits_oracle_sql(iterations: int = 3) -> str:
+    """q_hits oracle: the same L1-normalized half-steps unrolled as
+    chained CTEs. Arithmetic mirrors graph.hits exactly — raw neighbor
+    sums, then coalesce(raw,0)/total with the total as a scalar
+    subquery (Spark broadcasts the same one-row aggregate); shared
+    round(..., 9) absorbs sum-order noise."""
+    # every CTE is MATERIALIZED: each round references the previous one
+    # several times (join + scalar totals), and letting DuckDB inline
+    # them re-expands the whole iteration tree per reference —
+    # measured 363 s vs 0.1 s on sf0.01 without the hint
+    parts = [
+        _EDGES_CTE.rstrip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        ", nn AS (SELECT count(*) AS n FROM documents)",
+        ", h0 AS MATERIALIZED (SELECT doc_id AS id,"
+        "  1.0::DOUBLE / (SELECT n FROM nn) AS h FROM documents)",
+    ]
+    prev_h = "h0"
+    prev_a = None
+    for i in range(iterations):
+        parts.append(f"""
+            , ar{i} AS MATERIALIZED (
+                       SELECT e.dst AS id, sum({prev_h}.h) AS raw
+                        FROM edges e JOIN {prev_h} ON {prev_h}.id = e.src
+                        GROUP BY e.dst)
+            , at{i} AS MATERIALIZED (SELECT sum(raw) AS t FROM ar{i})
+            , a{i} AS MATERIALIZED (
+                       SELECT d.doc_id AS id,
+                          CASE WHEN (SELECT t FROM at{i}) > 0
+                               THEN coalesce(ar{i}.raw, 0) /
+                                    (SELECT t FROM at{i})
+                               ELSE 0.0 END AS a
+                       FROM documents d LEFT JOIN ar{i} ON ar{i}.id = d.doc_id)
+            , hr{i} AS MATERIALIZED (
+                       SELECT e.src AS id, sum(a{i}.a) AS raw
+                        FROM edges e JOIN a{i} ON a{i}.id = e.dst
+                        GROUP BY e.src)
+            , ht{i} AS MATERIALIZED (SELECT sum(raw) AS t FROM hr{i})
+            , h{i + 1} AS MATERIALIZED (
+                       SELECT d.doc_id AS id,
+                          CASE WHEN (SELECT t FROM ht{i}) > 0
+                               THEN coalesce(hr{i}.raw, 0) /
+                                    (SELECT t FROM ht{i})
+                               ELSE 0.0 END AS h
+                       FROM documents d LEFT JOIN hr{i} ON hr{i}.id = d.doc_id)""")
+        prev_h = f"h{i + 1}"
+        prev_a = f"a{i}"
+    parts.append(f"""
+        SELECT {prev_a}.id AS doc_id,
+               round({prev_a}.a, 9) AS authority,
+               round({prev_h}.h, 9) AS hub
+        FROM {prev_a} JOIN {prev_h} ON {prev_h}.id = {prev_a}.id
+        ORDER BY doc_id""")
     return "\n".join(parts)
 
 
@@ -1951,6 +2074,87 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY number_of_referrals DESC, url LIMIT 30
         """,
         "q_pagerank": _pagerank_oracle_sql(3),
+        "q_hits": _hits_oracle_sql(3),
+        "q_redirect_resolve": """
+            WITH RECURSIVE edges AS (
+              SELECT 'u' || doc_id AS src, 'u' || (doc_id - 1) AS dst
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT * FROM (VALUES ('c0','c1'), ('c1','c2'), ('c2','c0'),
+                                    ('t0','c0')) v(src, dst)
+            ),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1 FROM edges
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON e.src = w.cur
+              WHERE w.hops < 12
+            ),
+            resolved AS (
+              SELECT w.src, w.cur AS final, w.hops
+              FROM walk w
+              LEFT JOIN (SELECT DISTINCT src FROM edges) s ON s.src = w.cur
+              WHERE s.src IS NULL
+            )
+            SELECT e.src,
+                   coalesce(r.final, '') AS final,
+                   coalesce(r.hops, -1)::BIGINT AS hops,
+                   r.final IS NULL AS is_cycle
+            FROM (SELECT DISTINCT src FROM edges) e
+            LEFT JOIN resolved r ON r.src = e.src
+            ORDER BY e.src
+        """,
+        "q_domain_mix": r"""
+            WITH base AS (
+              SELECT source, lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS tok,
+                     length(text) AS chars
+              FROM documents
+            ),
+            per_lang AS (
+              SELECT source, lang, count(*) AS docs, sum(tok) AS tokens,
+                     sum(chars) AS c
+              FROM base GROUP BY source, lang
+            ),
+            per_src AS (
+              SELECT source,
+                     sum(docs)::BIGINT AS n_docs,
+                     sum(tokens)::BIGINT AS total_tokens,
+                     sum(c)::BIGINT AS total_chars,
+                     count(*)::BIGINT AS n_langs
+              FROM per_lang GROUP BY source
+            ),
+            ranked AS (
+              SELECT source, lang, docs,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY docs DESC, lang) AS rn
+              FROM per_lang
+            )
+            SELECT p.source, n_docs, total_tokens, total_chars,
+                   round(total_tokens / (SELECT sum(tok)::DOUBLE FROM base),
+                         9) AS token_share,
+                   n_langs, t.lang AS top_lang, t.docs::BIGINT AS top_lang_docs
+            FROM per_src p JOIN ranked t ON t.source = p.source AND t.rn = 1
+            ORDER BY p.source
+        """,
+        "q_inverted_index": """
+            WITH toks AS (
+              SELECT doc_id AS _doc,
+                     unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS token
+              FROM documents
+            ),
+            per_doc AS (
+              SELECT token, _doc, count(*) AS n
+              FROM toks WHERE token <> '' GROUP BY token, _doc
+            )
+            SELECT token, count(*)::BIGINT AS df, sum(n)::BIGINT AS tf,
+                   to_json(list_sort(list(_doc)))::VARCHAR AS postings
+            FROM per_doc GROUP BY token HAVING count(*) >= 5
+            ORDER BY token
+        """,
         "q_frontier_schedule": """
             WITH seeds AS (
               SELECT 'https://host'

@@ -57,6 +57,10 @@ HEADLINE_QUERIES = [
     "q_passage_dedup",
     "q_warc_scan",
     "q_pagerank",
+    "q_hits",
+    "q_redirect_resolve",
+    "q_domain_mix",
+    "q_inverted_index",
     "q_frontier_schedule",
     "q_seen_filter",
 ]

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "rank_priority"]
+__all__ = ["pagerank", "rank_priority", "redirect_resolve", "hits"]
 
 
 def pagerank(
@@ -104,6 +104,156 @@ def pagerank(
         )
     shares.unpersist()
     return ranks
+
+
+def redirect_resolve(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve HTTP-redirect chains to their final destination by pointer
+    doubling — the step a crawler runs over the (url → redirect target)
+    edge set before seen-set insertion, so the frontier dedupes on final
+    URLs instead of re-fetching every hop (the reference expands short
+    URLs one driver-side request at a time,
+    /root/reference/processor/post_processor/utils.py:129-141; this is
+    the set-at-once graph formulation of the same normalization).
+
+    edges(src_col, dst_col): functional — at most one out-edge per src
+    (duplicate srcs are collapsed to min(dst) for determinism). Returns
+    one row per src: (src_col, final string|null, hops int|null,
+    is_cycle) where is_cycle marks chains that never reach a terminal
+    (the src is on, or leads into, a redirect loop) — final/hops are
+    null for those, mirroring a crawler marking the URL dead.
+
+    Execution shape: each round is ONE equi-join of the chain frame
+    against itself keyed on the current pointer (ptr(x) ← ptr(ptr(x)),
+    hops additive), so a chain of length L resolves in ceil(log2 L)
+    rounds — never O(L) sequential lookups; lineage is cut per round
+    with localCheckpoint. The round count is fixed up front at
+    ceil(log2(#srcs)) + 1: the graph is functional, so a terminal chain
+    can never be longer than the source count — any row whose pointer
+    still lands on a source after those rounds must sit on (or feed
+    into) a cycle, detected without per-node visited state or an
+    unbounded loop. A no-progress round short-circuits early (an
+    acyclic edge set finishes as soon as every pointer is terminal).
+    """
+    step = (
+        edges.groupBy(F.col(src_col).alias("_src"))
+        .agg(F.min(dst_col).alias("_ptr"))
+        .select("_src", "_ptr", F.lit(1).cast("long").alias("_hops"))
+        .localCheckpoint()
+    )
+    n_src = step.count()
+    srcs = step.select(F.col("_src").alias("_s"))
+    cur = step
+    rounds = max(1, (max(n_src, 2) - 1).bit_length()) + 1
+    for _ in range(rounds):
+        hop = cur.select(
+            F.col("_src").alias("_jsrc"),
+            F.col("_ptr").alias("_jptr"),
+            F.col("_hops").alias("_jhops"),
+        )
+        nxt = (
+            cur.join(hop, F.col("_ptr") == F.col("_jsrc"), "left")
+            .select(
+                "_src",
+                F.coalesce("_jptr", "_ptr").alias("_ptr"),
+                (F.col("_hops") + F.coalesce("_jhops", F.lit(0))).alias("_hops"),
+                F.col("_jptr").isNotNull().alias("_moved"),
+            )
+            .localCheckpoint()
+        )
+        cur = nxt.drop("_moved")
+        # cheap on the checkpointed frame; cycle rows keep "moving"
+        # forever, so this only fires (and saves rounds) when acyclic
+        if nxt.where("_moved").isEmpty():
+            break
+    flagged = cur.join(
+        srcs.select(F.col("_s"), F.lit(True).alias("_cyc")),
+        F.col("_ptr") == F.col("_s"),
+        "left",
+    )
+    return flagged.select(
+        F.col("_src").alias(src_col),
+        F.when(F.col("_cyc").isNull(), F.col("_ptr")).alias("final"),
+        F.when(F.col("_cyc").isNull(), F.col("_hops")).cast("int").alias("hops"),
+        F.coalesce("_cyc", F.lit(False)).alias("is_cycle"),
+    )
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """HITS hubs-and-authorities over the referral edge graph — the
+    two-sided complement of `pagerank` (a page can matter as a *hub*
+    that links out to good sources without being cited itself; the
+    reference's in-degree interest ranking, processor.py:81-97, only
+    sees the authority side).
+
+    L1-normalized variant: each half-step sums neighbor scores then
+    divides by the total (one-row aggregate broadcast back in — the
+    classic L2 norm would add a sqrt for no analytical benefit and
+    break exact SQL-oracle parity). Fixed `iterations` like `pagerank`,
+    so the DuckDB oracle can unroll the same rounds as chained CTEs.
+
+    Returns (id_col, authority, hub), both summing to 1. Per iteration:
+    two equi-joins + two groupBy sums, all keyed on node id — the same
+    two-shuffle-per-round, bucketable shape as pagerank; lineage cut per
+    round with localCheckpoint.
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col(id_col), F.lit(0.0).alias("authority"), F.lit(0.0).alias("hub")
+        )
+    e = edges.select("src", "dst").persist()
+    hub = nodes.select(id_col).withColumn("h", F.lit(1.0 / n))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub, e.src == hub[id_col])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("_raw"))
+            .withColumnRenamed("dst", id_col)
+        )
+        auth = _l1_normalized(nodes, a_raw, id_col, "a")
+        h_raw = (
+            e.join(auth, e.dst == auth[id_col])
+            .groupBy("src")
+            .agg(F.sum("a").alias("_raw"))
+            .withColumnRenamed("src", id_col)
+        )
+        hub = _l1_normalized(nodes, h_raw, id_col, "h")
+    e.unpersist()
+    return (
+        auth.join(hub, id_col)
+        .select(id_col, F.col("a").alias("authority"), F.col("h").alias("hub"))
+    )
+
+
+def _l1_normalized(
+    nodes: DataFrame, raw: DataFrame, id_col: str, out: str
+) -> DataFrame:
+    """Spread `raw` over all nodes (missing → 0) and divide by the grand
+    total: one broadcast one-row aggregate, zero driver collects. An
+    all-zero round (no edges) keeps zeros instead of dividing by 0."""
+    total = raw.agg(F.coalesce(F.sum("_raw"), F.lit(0.0)).alias("_tot"))
+    return (
+        nodes.select(id_col)
+        .join(raw, id_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.when(
+                F.col("_tot") > 0, F.coalesce("_raw", F.lit(0.0)) / F.col("_tot")
+            ).otherwise(F.lit(0.0)).alias(out),
+        )
+        .localCheckpoint()
+    )
 
 
 def rank_priority(

@@ -1,0 +1,158 @@
+"""redirect_resolve / hits / domain_mix_report / inverted_index vs
+hand-computed and pure-Python oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from post_processor_spark.analytics import graph, index, report
+
+
+# ---------------------------------------------------------------- redirects
+
+def test_redirect_resolve_chains_cycles_tails(spark):
+    # a→b→c (terminal), d→c, e self-loop, f→g→f (2-cycle), t→f (tail
+    # into cycle), long chain x1..x9→x0 (terminal) exercising doubling
+    edges = [("a", "b"), ("b", "c"), ("d", "c"), ("e", "e"),
+             ("f", "g"), ("g", "f"), ("t", "f")]
+    edges += [(f"x{i}", f"x{i - 1}") for i in range(9, 0, -1)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {
+        r["src"]: (r["final"], r["hops"], r["is_cycle"])
+        for r in graph.redirect_resolve(df).collect()
+    }
+    assert out["a"] == ("c", 2, False)
+    assert out["b"] == ("c", 1, False)
+    assert out["d"] == ("c", 1, False)
+    assert out["e"] == (None, None, True)
+    assert out["f"] == (None, None, True)
+    assert out["g"] == (None, None, True)
+    assert out["t"] == (None, None, True)
+    for i in range(1, 10):
+        assert out[f"x{i}"] == ("x0", i, False)
+    assert len(out) == len(edges)
+
+
+def test_redirect_resolve_duplicate_src_deterministic(spark):
+    # duplicate src collapses to min(dst) before resolution
+    df = spark.createDataFrame(
+        [("a", "z"), ("a", "b"), ("b", "y")], "src string, dst string"
+    )
+    out = {r["src"]: r["final"] for r in graph.redirect_resolve(df).collect()}
+    assert out == {"a": "y", "b": "y"}
+
+
+# --------------------------------------------------------------------- HITS
+
+def _hits_oracle(n, edges, iterations=3):
+    h = [1.0 / n] * n
+    a = [0.0] * n
+    for _ in range(iterations):
+        a_raw = [0.0] * n
+        for s, d in edges:
+            a_raw[d] += h[s]
+        tot = sum(a_raw)
+        a = [x / tot if tot > 0 else 0.0 for x in a_raw]
+        h_raw = [0.0] * n
+        for s, d in edges:
+            h_raw[s] += a[d]
+        tot = sum(h_raw)
+        h = [x / tot if tot > 0 else 0.0 for x in h_raw]
+    return a, h
+
+
+def test_hits_matches_python_oracle(spark):
+    n = 40
+    # deterministic pseudo-random digraph incl. a dangling node (no out)
+    # and an unreferenced node (no in)
+    edges = [(i, (i * 7 + k) % n) for i in range(1, n) for k in range(i % 4)]
+    nodes = spark.range(n).select(F.col("id"))
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: (r["authority"], r["hub"])
+        for r in graph.hits(nodes, edf, iterations=3).collect()
+    }
+    a, h = _hits_oracle(n, edges)
+    for i in range(n):
+        assert got[i][0] == pytest.approx(a[i], abs=1e-12)
+        assert got[i][1] == pytest.approx(h[i], abs=1e-12)
+    assert sum(v[0] for v in got.values()) == pytest.approx(1.0)
+    assert sum(v[1] for v in got.values()) == pytest.approx(1.0)
+
+
+def test_hits_empty_graph(spark):
+    nodes = spark.range(3).select(F.col("id"))
+    edf = spark.createDataFrame([], "src long, dst long")
+    rows = graph.hits(nodes, edf, iterations=2).collect()
+    assert all(r["authority"] == 0.0 and r["hub"] == 0.0 for r in rows)
+
+
+# --------------------------------------------------------------- domain mix
+
+def test_domain_mix_report(spark):
+    df = spark.createDataFrame(
+        [
+            ("s1", "en", "one two three"),     # 3 tokens
+            ("s1", "en", "four five"),         # 2
+            ("s1", "fr", "un"),                # 1
+            ("s2", "de", "eins zwei"),         # 2
+            ("s2", "de", ""),                  # 0 tokens, 0 chars
+        ],
+        "source string, lang string, text string",
+    )
+    out = {r["source"]: r.asDict() for r in report.domain_mix_report(df).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["n_docs"], s1["total_tokens"], s1["n_langs"]) == (3, 6, 2)
+    assert (s1["top_lang"], s1["top_lang_docs"]) == ("en", 2)
+    assert s1["token_share"] == pytest.approx(6 / 8)
+    assert (s2["n_docs"], s2["total_tokens"], s2["n_langs"]) == (2, 2, 1)
+    assert s2["total_chars"] == len("eins zwei")
+
+
+def test_domain_mix_top_lang_tie_breaks_lexicographically(spark):
+    df = spark.createDataFrame(
+        [("s", "fr", "x"), ("s", "en", "y")],
+        "source string, lang string, text string",
+    )
+    row = report.domain_mix_report(df).collect()[0]
+    assert row["top_lang"] == "en"
+
+
+# ----------------------------------------------------------- inverted index
+
+def test_inverted_index_postings(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Alpha beta ALPHA!"),
+            (2, "beta gamma"),
+            (3, "alpha (beta) beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in index.inverted_index(df).collect()}
+    assert out["alpha"]["df"] == 2 and out["alpha"]["tf"] == 3
+    assert out["alpha"]["postings"] == [1, 3]
+    assert out["beta"]["df"] == 3 and out["beta"]["tf"] == 4
+    assert out["beta"]["postings"] == [1, 2, 3]
+    assert out["gamma"]["postings"] == [2]
+
+
+def test_inverted_index_caps(spark):
+    df = spark.createDataFrame(
+        [(i, "common " + ("rare" if i == 0 else f"w{i}")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    # min_df prunes singletons
+    toks = {r["token"] for r in index.inverted_index(df, min_df=2).collect()}
+    assert toks == {"common"}
+    # max_df_frac prunes the stopword-grade token
+    toks = {
+        r["token"]
+        for r in index.inverted_index(df, max_df_frac=0.5).collect()
+    }
+    assert "common" not in toks and "rare" in toks
+    # max_postings truncates the array but keeps exact df
+    row = [
+        r for r in index.inverted_index(df, max_postings=3).collect()
+        if r["token"] == "common"
+    ][0]
+    assert row["df"] == 10 and row["postings"] == [0, 1, 2]
