@@ -1548,6 +1548,49 @@ def _q_domain_mix(spark, sf):
     return report.domain_mix_report(_t(spark, sf, "documents")).orderBy("source")
 
 
+def _q_bm25(spark, sf):
+    """BM25 ranked retrieval (index.bm25_scores): five queries built
+    deterministically from the first five tokens of docs 0–4, top-10
+    per query. Scores rounded to 6 decimals BEFORE ranking on both
+    sides so near-ties rank identically across engines."""
+    d = _t(spark, sf, "documents")
+    qs = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(index.index_tokens(F.col("text")), 1, 5)
+        ).alias("query"),
+    )
+    out = index.bm25_scores(d, qs, top_k=10, round_scores=6)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("score"),
+    ).orderBy("query_id", "rank")
+
+
+def _q_cocitation(spark, sf):
+    """Co-citation network (graph.cocitation) over the deterministic
+    referral edge graph: pairs of targets cited by the same source,
+    per-source out-degree capped at 64 (no effect at this rule's ≤3
+    out-degree — the cap's semantics are pinned by the unit test)."""
+    d = _t(spark, sf, "documents")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(_seq1((F.col("doc_id") % 4).cast("int"))).alias("k"),
+    ).select("src", ((F.col("src") * 7 + F.col("k")) % n).alias("dst"))
+    return (
+        graph.cocitation(edges)
+        .select(
+            F.col("dst_a").cast("long").alias("dst_a"),
+            F.col("dst_b").cast("long").alias("dst_b"),
+            "cocitations",
+        )
+        .orderBy("dst_a", "dst_b")
+    )
+
+
 def _q_inverted_index(spark, sf):
     """Inverted-index build (index.inverted_index): token → df/tf +
     sorted posting list over documents, min_df=5. Postings serialized
@@ -1601,6 +1644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redirect_resolve": _q_redirect_resolve,
         "q_domain_mix": _q_domain_mix,
         "q_inverted_index": _q_inverted_index,
+        "q_bm25": _q_bm25,
+        "q_cocitation": _q_cocitation,
         "q_record_dedup_desc": _q_record_dedup_desc,
         "q_scope_gate": _q_scope_gate,
         # frontier core (oracle-checked: results are exact windows/anti-joins)
@@ -2138,6 +2183,80 @@ def oracle_sql() -> dict[str, str]:
                    n_langs, t.lang AS top_lang, t.docs::BIGINT AS top_lang_docs
             FROM per_src p JOIN ranked t ON t.source = p.source AND t.rn = 1
             ORDER BY p.source
+        """,
+        "q_bm25": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id AS _doc,
+                     unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS _term
+              FROM documents
+            ),
+            t2 AS MATERIALIZED (
+              SELECT _doc, _term FROM toks WHERE _term <> ''
+            ),
+            dl AS MATERIALIZED (
+              SELECT _doc, count(*) AS _dl FROM t2 GROUP BY _doc
+            ),
+            stats AS MATERIALIZED (
+              SELECT count(*)::DOUBLE AS _n, avg(_dl) AS _avgdl FROM dl
+            ),
+            qterms AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS _qid, t._term
+              FROM documents,
+                   LATERAL (
+                     SELECT unnest(list_slice(
+                       list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''), 1, 5)) AS _term
+                   ) t
+              WHERE doc_id < 5
+            ),
+            tf AS MATERIALIZED (
+              SELECT t2._doc, t2._term, count(*) AS _tf
+              FROM t2
+              JOIN (SELECT DISTINCT _term FROM qterms) q ON q._term = t2._term
+              GROUP BY t2._doc, t2._term
+            ),
+            dfq AS MATERIALIZED (
+              SELECT _term, count(*) AS _df FROM tf GROUP BY _term
+            ),
+            scored AS MATERIALIZED (
+              SELECT qt._qid, tf._doc,
+                     sum(
+                       ln(1.0 + ((SELECT _n FROM stats) - dfq._df + 0.5)
+                                / (dfq._df + 0.5))
+                       * (tf._tf * (1.5 + 1.0))
+                       / (tf._tf + 1.5 * (0.25 + 0.75 * dl._dl
+                                          / (SELECT _avgdl FROM stats)))
+                     ) AS _score
+              FROM tf
+              JOIN qterms qt ON qt._term = tf._term
+              JOIN dl ON dl._doc = tf._doc
+              JOIN dfq ON dfq._term = tf._term
+              GROUP BY qt._qid, tf._doc
+            ),
+            r AS (
+              SELECT _qid, _doc, round(_score, 6) AS score,
+                     row_number() OVER (PARTITION BY _qid
+                                        ORDER BY round(_score, 6) DESC,
+                                                 _doc) AS rank
+              FROM scored
+            )
+            SELECT _qid::BIGINT AS query_id, _doc::BIGINT AS doc_id,
+                   rank::BIGINT AS rank, score
+            FROM r WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "q_cocitation": _EDGES_CTE + """
+            , e AS (SELECT DISTINCT src, dst FROM edges)
+            , ok AS (SELECT src FROM e GROUP BY src
+                     HAVING count(*) BETWEEN 2 AND 64)
+            SELECT e1.dst::BIGINT AS dst_a, e2.dst::BIGINT AS dst_b,
+                   count(*)::BIGINT AS cocitations
+            FROM e e1
+            JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            JOIN ok ON ok.src = e1.src
+            GROUP BY e1.dst, e2.dst
+            ORDER BY dst_a, dst_b
         """,
         "q_inverted_index": """
             WITH toks AS (

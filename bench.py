@@ -61,6 +61,8 @@ HEADLINE_QUERIES = [
     "q_redirect_resolve",
     "q_domain_mix",
     "q_inverted_index",
+    "q_bm25",
+    "q_cocitation",
     "q_frontier_schedule",
     "q_seen_filter",
 ]

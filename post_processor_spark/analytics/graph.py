@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "rank_priority", "redirect_resolve", "hits"]
+__all__ = ["pagerank", "rank_priority", "redirect_resolve", "hits", "cocitation"]
 
 
 def pagerank(
@@ -233,6 +233,62 @@ def hits(
         auth.join(hub, id_col)
         .select(id_col, F.col("a").alias("authority"), F.col("h").alias("hub"))
     )
+
+
+def cocitation(
+    edges: DataFrame,
+    min_count: int = 1,
+    max_out: int = 64,
+) -> DataFrame:
+    """Co-citation counting: how often two targets are cited by the SAME
+    source — the edge weight of the media co-citation network that is
+    the reference project's analytical end product (its interest output
+    counts citations per single source, processor.py:81-97; co-citation
+    is the pairwise structure those counts flatten away).
+
+    edges(src, dst), parallel edges collapsed (a doc citing the same
+    target twice is one citation). Returns (dst_a, dst_b, cocitations)
+    with dst_a < dst_b.
+
+    Scale guard: pair generation is quadratic in a source's out-degree,
+    so sources citing more than `max_out` distinct targets are dropped
+    ENTIRELY (not truncated — a truncated pair set would depend on
+    partition order). That is the df-cap discipline of the shingle/LSH
+    paths: a link-farm page citing 10k domains contributes no curation
+    signal, only an O(10k²) hot key. Pairs are generated JVM-side from
+    each source's sorted target array (one groupBy(src), no self-join
+    of the edge table), then counted with one pair-keyed aggregation —
+    two shuffles total.
+    """
+    per_src = (
+        edges.select("src", "dst")
+        .distinct()
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("_ts"))
+        .where(F.size("_ts").between(2, max_out))
+    )
+    pairs = per_src.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ts"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("_ts"), i + 2, F.size("_ts")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    out = (
+        pairs.groupBy(
+            F.col("_p.a").alias("dst_a"), F.col("_p.b").alias("dst_b")
+        )
+        .agg(F.count("*").cast("long").alias("cocitations"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("cocitations") >= min_count)
+    return out
 
 
 def _l1_normalized(

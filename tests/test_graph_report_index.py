@@ -1,5 +1,7 @@
-"""redirect_resolve / hits / domain_mix_report / inverted_index vs
-hand-computed and pure-Python oracles."""
+"""redirect_resolve / hits / cocitation / domain_mix_report /
+inverted_index / bm25 vs hand-computed and pure-Python oracles."""
+
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -84,6 +86,77 @@ def test_hits_empty_graph(spark):
     edf = spark.createDataFrame([], "src long, dst long")
     rows = graph.hits(nodes, edf, iterations=2).collect()
     assert all(r["authority"] == 0.0 and r["hub"] == 0.0 for r in rows)
+
+
+# --------------------------------------------------------------- cocitation
+
+def test_cocitation_counts_and_hot_source_cap(spark):
+    edges = [
+        ("s1", "x"), ("s1", "y"), ("s1", "y"),   # parallel edge collapses
+        ("s2", "x"), ("s2", "y"), ("s2", "z"),
+        ("s3", "x"),                              # out-degree 1: no pairs
+    ]
+    # a link farm citing 5 targets: dropped entirely at max_out=4
+    edges += [("farm", f"t{i}") for i in range(5)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["dst_a"], r["dst_b"]): r["cocitations"]
+        for r in graph.cocitation(df, max_out=4).collect()
+    }
+    assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1}
+
+
+# --------------------------------------------------------------------- BM25
+
+def _bm25_oracle(docs, queries, k1=1.5, b=0.75):
+    import re
+
+    tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    dt = {d: tok(t) for d, t in docs}
+    n = len(dt)
+    avgdl = sum(len(v) for v in dt.values()) / n
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for term in set(tok(qtext)):
+            df = sum(1 for v in dt.values() if term in v)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, v in dt.items():
+                tf = v.count(term)
+                if tf:
+                    scores[d] = scores.get(d, 0.0) + idf * (
+                        tf * (k1 + 1.0)
+                    ) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def test_bm25_matches_python_oracle(spark):
+    docs = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "spark spark spark tuning guide"),
+        (3, "the cat sat on the mat"),
+        (4, "cluster scheduling and data locality in spark"),
+        (5, "a long document about nothing in particular with many words " * 3),
+    ]
+    queries = [(10, "spark cluster"), (11, "cat mat"), (12, "zzz-missing")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    got = {}
+    for r in index.bm25_scores(ddf, qdf, top_k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    exp = _bm25_oracle(docs, queries)
+    for qid in (10, 11):
+        want = exp[qid][:3]
+        rows = sorted(got[qid])
+        assert [d for _, d, _ in rows] == [d for d, _ in want]
+        for (_, _, s), (_, ws) in zip(rows, want):
+            assert s == pytest.approx(ws, rel=1e-12)
+    assert 12 not in got  # no matching terms -> no rows
 
 
 # --------------------------------------------------------------- domain mix
