@@ -119,12 +119,18 @@ def _gram_hash_stats(docs, text_col, id_col, n):
     NON-distinct gram hashes (token-direct multi-arg xxhash64, no gram
     string), groupBy(id, h).count, then per-id totals. Both aggregations
     partial map-side; everything stays in whole-stage codegen."""
-    toks = norm_tokens(F.col(text_col))
+    # token array materialized first — an inline norm_tokens inside the
+    # gram lambda would re-split the doc n times per gram (see
+    # dedup.shingles)
+    base = docs.select(
+        F.col(id_col).alias("id"), norm_tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.xxhash64(*[F.get(toks, i + j) for j in range(n)]),
     )
-    exploded = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("h"))
+    exploded = base.select("id", F.explode(grams).alias("h"))
     per_gram = exploded.groupBy("id", "h").agg(F.count("*").alias("cnt"))
     return per_gram.groupBy("id").agg(
         F.sum("cnt").alias("n_gram"),

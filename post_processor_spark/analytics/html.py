@@ -99,12 +99,23 @@ def main_text_blocks(
             ).alias("n_anchors"),
         ),
     )
-    kept = F.filter(
+    # second pass materializes the word count into the struct: the keep
+    # predicate reads it twice, and computing _word_count inline there
+    # would re-split the block text per reference
+    counted = F.transform(
         infos,
-        lambda s: (_word_count(s["text"]) >= F.lit(int(min_words)))
+        lambda s: F.struct(
+            s["text"].alias("text"),
+            s["n_anchors"].alias("n_anchors"),
+            _word_count(s["text"]).alias("n_words"),
+        ),
+    )
+    kept = F.filter(
+        counted,
+        lambda s: (s["n_words"] >= F.lit(int(min_words)))
         & (
             s["n_anchors"].cast("double")
-            <= _word_count(s["text"]).cast("double") * F.lit(float(max_link_density))
+            <= s["n_words"].cast("double") * F.lit(float(max_link_density))
         ),
     )
     return F.transform(kept, lambda s: s["text"])

@@ -78,14 +78,25 @@ def fingerprint(col: Column) -> Column:
 
 def rolling_hash_fingerprint(col: Column, window: int = 8) -> Column:
     """Winnowing-style fingerprint: min xxhash64 over character
-    k-grams — robust to local edits, all JVM-side."""
+    k-grams — robust to local edits, all JVM-side. The normalized
+    string is bound ONCE through a 1-element transform: referencing the
+    regexp_replace expression inside the per-gram lambda would re-run
+    the whole-document regex once per character position."""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
-    n = F.length(norm)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
-        lambda i: F.xxhash64(F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(window))),
+    return F.get(
+        F.transform(
+            F.array(norm),
+            lambda nrm: F.array_min(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length(nrm) - window + 1, F.lit(1))
+                    ),
+                    lambda i: F.xxhash64(nrm.substr(i, F.lit(window))),
+                )
+            ),
+        ),
+        0,
     )
-    return F.array_min(grams)
 
 
 def profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
