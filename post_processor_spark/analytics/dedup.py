@@ -332,23 +332,34 @@ def ngram_jaccard_pairs(
     exact over the df-filtered shingle universe — self-consistent and
     oracle-expressible, never a silently wrong count. Pairs similar ONLY
     through dropped mega-df shingles are not reported (by design — such
-    shingles carry no dedup signal). max_df=None disables the cap."""
-    sh = shingles(docs, text_col, id_col, n)
+    shingles carry no dedup signal). max_df=None disables the cap.
+
+    Plan: shingles are keyed by xxhash64 the moment they exist — the
+    string never rides an exchange; every shuffle and the self-join
+    probe carry 8-byte longs. The self-join + pair aggregation stays
+    (whole-stage codegen): the minhash band path's in-row pair
+    generation was measured ~60% SLOWER here at sf0.1 — higher-order
+    lambdas evaluate interpreted per element, which loses to a
+    codegen'd join once per-key member lists are large (band buckets
+    are small; shingle dfs are not)."""
+    sh = shingles(docs, text_col, id_col, n).select(
+        "id", F.xxhash64("shingle").alias("_sk")
+    )
     if max_df is not None:
         # hot list is tiny BY CONSTRUCTION (few shingles exceed the cap)
         # → broadcast anti-join; the df agg shrinks map-side to one row
         # per distinct shingle per mapper
         hot = (
-            sh.groupBy("shingle")
+            sh.groupBy("_sk")
             .count()
             .filter(F.col("count") > max_df)
-            .select("shingle")
+            .select("_sk")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(F.broadcast(hot), "_sk", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        .join(sh.alias("b"), "_sk")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
