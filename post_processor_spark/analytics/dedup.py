@@ -663,15 +663,20 @@ def embedding_neardup_pairs(
     Default path ('grid') is bucketed with a completeness GUARANTEE — it
     returns exactly the all-pairs answer without an all-pairs join:
     unit vectors with cosine >= t are within chord r = sqrt(2-2t), and by
-    Cauchy-Schwarz their projections onto any unit vector differ by <= r.
-    Each vector is projected onto n_projections deterministic unit
-    directions, assigned grid cells of width r, and emitted to the 2^D
-    corner cells (cell_d + {0,1} per dimension), so every qualifying pair
-    shares at least one bucket tuple. Candidates = bucket equi-join
-    (shuffle hash/SMJ — Catalyst's choice), verified with exact cosine.
-    Pruning power grows with the threshold (r shrinks); at low thresholds
-    the cells are wide and the join degrades gracefully toward dense
-    buckets while STAYING an equi-join — never a BNLJ/cartesian.
+    Cauchy-Schwarz their projections onto any unit vector differ by <= r
+    — so with cell width r, qualifying pairs' cell ids differ by at most
+    1 per dimension. The join is ONE-SIDED neighbor expansion: the probe
+    side carries each vector's own cell once, the build side emits all
+    3^D neighbor cells (cell_d + {-1,0,1}), and a qualifying ordered
+    pair therefore matches on EXACTLY one bucket key — no
+    dropDuplicates, no post-join dedup shuffle hauling vector payloads
+    (the earlier two-sided 2^D corner scheme matched a pair on up to
+    2^D keys and paid a full-width dedup exchange). Candidates =
+    bucket equi-join (shuffle hash/SMJ — Catalyst's choice), verified
+    with exact cosine. Pruning power grows with the threshold (r
+    shrinks); at low thresholds the cells are wide and the join degrades
+    gracefully toward dense buckets while STAYING an equi-join — never
+    a BNLJ/cartesian.
 
     method='exact' keeps the theta-join baseline (oracle/debug only —
     O(n^2) at corpus scale)."""
@@ -692,30 +697,47 @@ def embedding_neardup_pairs(
     # cell width: chord bound, slightly inflated so a pair at EXACTLY the
     # threshold can't straddle two non-adjacent cells through float round
     r = max((2.0 - 2.0 * threshold), 0.0) ** 0.5 * (1.0 + 1e-9) + 1e-12
-    cells = [
-        F.floor(_grid_projection(F.col("_unit"), d, seed) / F.lit(r)).cast("long")
-        for d in range(n_projections)
-    ]
-    # 2^D corner keys per vector: all combos of cell_d + {0,1}
-    corners = F.array(*[
+    # cell ids materialized as columns BEFORE the corner expansion: all
+    # 2^D corner expressions reference every cell_d, and inline
+    # projections would re-run the O(dim) interpreted projection once
+    # per corner instead of once per vector
+    gridded = unit.select(
+        "_id",
+        "_unit",
+        *[
+            F.floor(_grid_projection(F.col("_unit"), d, seed) / F.lit(r))
+            .cast("long")
+            .alias(f"_c{d}")
+            for d in range(n_projections)
+        ],
+    )
+    # probe side: own cell, once; build side: all 3^D neighbor cells —
+    # an ordered qualifying pair shares exactly ONE key, so the join
+    # output needs no dedup
+    import itertools
+
+    own = F.concat_ws(
+        ",", *[F.col(f"_c{d}").cast("string") for d in range(n_projections)]
+    )
+    neighbors = F.array(*[
         F.concat_ws(
-            ",", *[(cells[d] + (1 if (c >> d) & 1 else 0)).cast("string")
+            ",", *[(F.col(f"_c{d}") + off[d]).cast("string")
                    for d in range(n_projections)]
         )
-        for c in range(1 << n_projections)
+        for off in itertools.product((-1, 0, 1), repeat=n_projections)
     ])
-    bucketed = unit.select("_id", "_unit", F.explode(corners).alias("_bucket"))
-    a = bucketed.select(
-        F.col("_id").alias("id_a"), F.col("_unit").alias("_va"), "_bucket"
+    a = gridded.select(
+        F.col("_id").alias("id_a"), F.col("_unit").alias("_va"),
+        own.alias("_bucket"),
     )
-    b = bucketed.select(
-        F.col("_id").alias("id_b"), F.col("_unit").alias("_vb"), "_bucket"
+    b = gridded.select(
+        F.col("_id").alias("id_b"), F.col("_unit").alias("_vb"),
+        F.explode(neighbors).alias("_bucket"),
     )
     cand = (
         a.join(b, "_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "_va", "_vb")
-        .dropDuplicates(["id_a", "id_b"])  # a pair can share several corners
     )
     return (
         cand.select("id_a", "id_b", sim.alias("cosine"))
