@@ -1591,6 +1591,44 @@ def _q_cocitation(spark, sf):
     )
 
 
+def _q_adaptive_quality(spark, sf):
+    """Adaptive per-language quality gate (sampling.quality_gate_per_
+    group): keep docs at or above their own language's median n_chars —
+    the per-group threshold filter curation pipelines use instead of a
+    global cutoff. Same rank-at-ceil(q·n) quantile convention as
+    q_group_quantiles."""
+    d = _t(spark, sf, "documents")
+    kept = sampling.quality_gate_per_group(d, "lang", "n_chars", q=0.5)
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id")).orderBy(
+        "doc_id"
+    )
+
+
+def _q_host_graph(spark, sf):
+    """Domain-level webgraph rollup (graph.host_graph): URL edges
+    synthesized with predictable hosts (src www.site{id%40}.com, dst
+    cdn.site{(id*7+k)%40}.org, k=1..id%4), collapsed through the real
+    canonicalization + PSL path to registrable-domain edges. The oracle
+    derives the domains from the same modular arithmetic directly."""
+    d = _t(spark, sf, "documents")
+    edges = d.select(
+        F.concat(
+            F.lit("https://www.site"), (F.col("doc_id") % 40).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string"),
+        ).alias("src"),
+        F.explode(_seq1((F.col("doc_id") % 4).cast("int"))).alias("k"),
+        F.col("doc_id"),
+    ).select(
+        "src",
+        F.concat(
+            F.lit("http://cdn.site"),
+            ((F.col("doc_id") * 7 + F.col("k")) % 40).cast("string"),
+            F.lit(".org/x/"), F.col("k").cast("string"),
+        ).alias("dst"),
+    )
+    return graph.host_graph(edges).orderBy("src_domain", "dst_domain")
+
+
 def _q_inverted_index(spark, sf):
     """Inverted-index build (index.inverted_index): token → df/tf +
     sorted posting list over documents, min_df=5. Postings serialized
@@ -1646,6 +1684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": _q_inverted_index,
         "q_bm25": _q_bm25,
         "q_cocitation": _q_cocitation,
+        "q_host_graph": _q_host_graph,
+        "q_adaptive_quality": _q_adaptive_quality,
         "q_record_dedup_desc": _q_record_dedup_desc,
         "q_scope_gate": _q_scope_gate,
         # frontier core (oracle-checked: results are exact windows/anti-joins)
@@ -2257,6 +2297,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN ok ON ok.src = e1.src
             GROUP BY e1.dst, e2.dst
             ORDER BY dst_a, dst_b
+        """,
+        "q_adaptive_quality": """
+            WITH r AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            ),
+            thr AS (
+              SELECT lang,
+                     max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                              THEN n_chars END) AS t
+              FROM r GROUP BY lang
+            )
+            SELECT d.doc_id::BIGINT AS doc_id
+            FROM documents d JOIN thr ON thr.lang = d.lang
+            WHERE d.n_chars >= thr.t
+            ORDER BY doc_id
+        """,
+        "q_host_graph": """
+            WITH e AS (
+              SELECT 'site' || CAST(doc_id % 40 AS VARCHAR) || '.com'
+                       AS src_domain,
+                     'site' || CAST((doc_id * 7 + k.k) % 40 AS VARCHAR)
+                       || '.org' AS dst_domain
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(
+                     1, CAST(d.doc_id % 4 AS BIGINT))) AS k) k
+            )
+            SELECT src_domain, dst_domain, count(*)::BIGINT AS weight
+            FROM e WHERE src_domain <> dst_domain
+            GROUP BY src_domain, dst_domain
+            ORDER BY src_domain, dst_domain
         """,
         "q_inverted_index": """
             WITH toks AS (

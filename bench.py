@@ -63,6 +63,8 @@ HEADLINE_QUERIES = [
     "q_inverted_index",
     "q_bm25",
     "q_cocitation",
+    "q_host_graph",
+    "q_adaptive_quality",
     "q_frontier_schedule",
     "q_seen_filter",
 ]

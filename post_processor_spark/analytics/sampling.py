@@ -139,3 +139,40 @@ def train_eval_split(
         df.filter(u >= F.lit(eval_fraction)),
         df.filter(u < F.lit(eval_fraction)),
     )
+
+
+def quality_gate_per_group(
+    docs: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float = 0.5,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Adaptive per-group quality gate: keep rows scoring at or above
+    their OWN group's q-quantile — the per-language / per-domain
+    threshold filter real curation pipelines use instead of one global
+    cutoff (a global threshold empties low-resource languages and
+    keeps every spammy page of the highest-scoring domain).
+
+    Exact path: stats.group_quantiles (one row per group) broadcast back
+    onto the corpus — one window pass over the grouped sort plus a
+    broadcast join; deterministic under ties (the threshold VALUE at
+    rank ceil(q·n) doesn't depend on tie order). approx=True swaps in
+    the percentile_approx sketch (partial-aggregable, bounded memory)
+    for corpora where one group outgrows a partition sort — same
+    contract as stats.group_quantiles_approx: rank error ≤ 1/accuracy,
+    not oracle-exact.
+    """
+    from . import stats
+
+    fn = stats.group_quantiles_approx if approx else stats.group_quantiles
+    kwargs = {"accuracy": accuracy} if approx else {}
+    thr = fn(docs, group_col, score_col, qs=(q,), **kwargs).select(
+        group_col, F.col(stats._plabel(q)).alias("_thr")
+    )
+    return (
+        docs.join(F.broadcast(thr), group_col)
+        .where(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

@@ -164,6 +164,48 @@ def stateful_politeness_stream(
     )
 
 
+def streaming_url_dedup(
+    spark: SparkSession,
+    seed_dir: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-side URL dedup: dropDuplicatesWithinWatermark on the
+    canonical url_hash — the bounded-state streaming analog of the
+    bloom + exact seen filter (seen.py). The batch path keeps the seen
+    set FOREVER (exactness across the whole crawl, delta-log + bloom);
+    this operator is the complementary in-flight guard: duplicates of a
+    URL arriving within the watermark horizon are dropped inside the
+    stream with state Spark can EVICT once the watermark passes, so
+    state stays bounded by (arrival rate × horizon) instead of growing
+    O(crawl). Use both at scale: in-stream dedup collapses the bursty
+    duplicates (a URL discovered by thousands of pages in the same
+    minute) before they ever hit the store; the snapshot seen-filter
+    guarantees global exactness behind it.
+
+    Event time is the deterministic politeness epoch derived from seq
+    (BASE + seq seconds) — same clock discipline as metrics_window; a
+    processing-time watermark would make results run-dependent.
+
+    Returns the deduped streaming frame (url, priority, seq,
+    canonical_url, url_hash, host_hash, event_ts); caller attaches the
+    sink."""
+    from . import canon
+
+    seeds = seed_stream(spark, seed_dir)
+    cand = canon.with_canonical(seeds, "url").withColumn(
+        "event_ts",
+        F.timestamp_seconds(F.lit(frontier._BASE_EPOCH) + F.col("seq")),
+    )
+    return (
+        cand.select(
+            "url", "priority", "seq", "canonical_url", "url_hash",
+            "host_hash", "event_ts",
+        )
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url_hash"])
+    )
+
+
 def metrics_window(
     metrics: DataFrame,
     minutes: int = 1,

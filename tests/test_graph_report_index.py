@@ -106,6 +106,30 @@ def test_cocitation_counts_and_hot_source_cap(spark):
     assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1}
 
 
+# --------------------------------------------------------------- host graph
+
+def test_host_graph_rollup(spark):
+    edges = [
+        ("https://www.a.com/x", "http://b.co.uk/y"),
+        ("https://a.com/z#frag", "https://sub.b.co.uk/w"),  # www/sub fold
+        ("http://a.com/q", "http://www.a.com/self"),        # self edge
+        ("https://c.org/1", "https://a.com/2"),
+    ]
+    out = graph.host_graph(
+        spark.createDataFrame(edges, "src string, dst string")
+    )
+    got = {(r["src_domain"], r["dst_domain"]): r["weight"] for r in out.collect()}
+    assert got == {("a.com", "b.co.uk"): 2, ("c.org", "a.com"): 1}
+    with_self = graph.host_graph(
+        spark.createDataFrame(edges, "src string, dst string"), drop_self=False
+    )
+    got2 = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in with_self.collect()
+    }
+    assert got2[("a.com", "a.com")] == 1
+
+
 # --------------------------------------------------------------------- BM25
 
 def _bm25_oracle(docs, queries, k1=1.5, b=0.75):

@@ -137,3 +137,39 @@ def test_temperature_sample_validations(spark):
         sampling.temperature_sample(df, "lang", alpha=-0.1)
     with _pytest.raises(ValueError, match="budget_fraction"):
         sampling.temperature_sample(df, "lang", budget_fraction=1.5)
+
+
+def test_quality_gate_per_group_exact_and_approx(spark):
+    """Keep-set equals the python oracle (score >= own group's median at
+    rank ceil(q*n)); the approx path keeps a superset/subset within the
+    sketch's rank tolerance — here exact because accuracy >> group size."""
+    import math
+
+    # 3 groups of 41 (odd → unambiguous median for BOTH the rank-ceil
+    # convention and the percentile_approx sketch)
+    rows = [(i, "g" + str(i % 3), (i * 37) % 101) for i in range(123)]
+    # a one-row group and an all-ties group
+    rows += [(1000, "solo", 5)] + [(2000 + i, "ties", 7) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
+
+    by_g = {}
+    for _id, g, s in rows:
+        by_g.setdefault(g, []).append((s, _id))
+    expect = set()
+    for g, vals in by_g.items():
+        scores = sorted(s for s, _ in vals)
+        thr = scores[math.ceil(0.5 * len(scores)) - 1]
+        expect |= {i for s, i in vals if s >= thr}
+
+    got = {
+        r["doc_id"]
+        for r in sampling.quality_gate_per_group(df, "grp", "score").collect()
+    }
+    assert got == expect
+    got_approx = {
+        r["doc_id"]
+        for r in sampling.quality_gate_per_group(
+            df, "grp", "score", approx=True
+        ).collect()
+    }
+    assert got_approx == expect

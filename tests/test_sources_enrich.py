@@ -205,6 +205,55 @@ def test_streaming_frontier_bucketed_seed_merge(spark, tmp_path):
     assert store.read(spark, "seen").count() > 0
 
 
+def test_streaming_url_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark seen-filter: duplicates arriving in
+    the SAME batch and in a LATER batch (same checkpoint, event time
+    within the watermark horizon) are both dropped; canonicalization
+    runs first, so a host-case variant of a seen URL is a duplicate."""
+    from post_processor_spark import streaming
+
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_batch():
+        df = streaming.streaming_url_dedup(spark, str(seed_dir))
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        return spark.read.parquet(out_dir).collect()
+
+    rows1 = [
+        {"url": f"https://h{i}.example.com/p", "priority": 1, "seq": i}
+        for i in range(5)
+    ]
+    # in-batch duplicate: host-case variant of h0 canonicalizes identically
+    rows1.append({"url": "https://H0.EXAMPLE.com/p", "priority": 1, "seq": 5})
+    (seed_dir / "b0.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    out1 = run_batch()
+    assert len(out1) == 5
+    assert len({r["url_hash"] for r in out1}) == 5
+
+    rows2 = [
+        # cross-batch duplicate of h1, 6 seconds later — inside watermark
+        {"url": "https://h1.example.com/p", "priority": 1, "seq": 7},
+        {"url": "https://h9.example.com/p", "priority": 1, "seq": 8},
+    ]
+    (seed_dir / "b1.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    all_out = run_batch()
+    assert len(all_out) == 6
+    assert len({r["url_hash"] for r in all_out}) == 6
+    assert any("h9" in r["url"] for r in all_out)
+
+
 def test_stateful_politeness_stream_state_survives_batches(spark, tmp_path):
     """applyInPandasWithState: the per-host slot counter must CONTINUE
     across micro-batches via the streaming checkpoint — batch-2 URLs of a
