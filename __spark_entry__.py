@@ -1639,6 +1639,111 @@ def _q_inverted_index(spark, sf):
     ).orderBy("token")
 
 
+def _q_media_phash(spark, sf):
+    """Media perceptual hash (multimodal.perceptual_hash): 64-bucket
+    average-hash over the stub-decoded payload bytes, Arrow-batched
+    narrow map. On the arithmetic synthetic media the payload is the
+    sha256 of the id, so the oracle rebuilds every byte, the /64 mean
+    (exact in float64), and the bit threshold in SQL — full value hash
+    on the 64-bit signature. The near-dup pairing over this signature
+    reuses dedup.simhash_near_dups (pytest
+    test_media_phash_near_dup_bridge)."""
+    from post_processor_spark.analytics import multimodal
+
+    d = _t(spark, sf, "documents")
+    media = multimodal.synthetic_media(d, arithmetic=True)
+    return multimodal.perceptual_hash(media).orderBy("media_id")
+
+
+def _q_collocations(spark, sf):
+    """Collocation mining (text.collocations): adjacent-bigram PMI over
+    the documents corpus, min_count=5. Counts are exact; the oracle
+    recomputes pmi with the identical division tree and ln, shared
+    round(·, 6) absorbing last-ulp libm differences."""
+    from post_processor_spark.analytics import text as text_mod
+
+    d = _t(spark, sf, "documents")
+    return text_mod.collocations(d, min_count=5).orderBy("w1", "w2")
+
+
+def _q_hll_rollup(spark, sf):
+    """Mergeable HLL distinct-count rollup (sketches.hll_rollup): per-
+    (event_type, day) user sketches union-merged to event_type — the
+    coarse level never rescans raw rows, the incremental-maintenance
+    pattern the frontier's bloom deltas use, applied to cardinality
+    metrics. At oracle cardinalities (≤ a few hundred distinct users per
+    type, lgK=14) the sketch is in sparse mode and the estimate equals
+    the exact distinct count, which is what the DuckDB oracle asserts
+    (COUNT(DISTINCT user_id)); dense-mode error bounds are pinned by
+    tests/test_sketches.test_hll_large_cardinality_error_bound."""
+    from post_processor_spark.analytics import sketches
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    out = sketches.hll_rollup(ev, ["event_type", "day"], ["event_type"], "user_id")
+    return out.select(
+        "event_type",
+        F.col("n_fine").cast("long").alias("n_days"),
+        F.col("distinct_est").cast("long").alias("distinct_users"),
+    ).orderBy("event_type")
+
+
+def _q_theta_overlap(spark, sf):
+    """Theta-sketch corpus set algebra (sketches.theta_overlap): |train|,
+    |benchmark|, |∩|, |train \\ benchmark| over distinct texts, estimated
+    from one independent single-pass scan per side — the 100 TB
+    decontamination pre-check that avoids co-shuffling both corpora by
+    key before analytics/decontam.py's exact join is known to be worth
+    running. Below 2^lgNom distinct keys per side the theta sketch is in
+    exact mode (every hashed key retained), so at oracle scale the four
+    estimates equal DuckDB's exact INTERSECT/EXCEPT set algebra; the
+    estimation-mode error band is pinned by
+    tests/test_sketches.test_theta_overlap_estimation_mode_bound."""
+    from post_processor_spark.analytics import sketches
+
+    d = _t(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    benchmark = d.filter(F.col("doc_id") % 2 == 0)
+    out = sketches.theta_overlap(corpus, benchmark, "text", lg_nom=14)
+    return out.select(
+        F.col("n_left_est").cast("long").alias("n_corpus"),
+        F.col("n_right_est").cast("long").alias("n_benchmark"),
+        F.col("n_overlap_est").cast("long").alias("n_overlap"),
+        F.col("n_left_only_est").cast("long").alias("n_clean"),
+    )
+
+
+def _q_kll_quantiles(spark, sf):
+    """KLL quantile sketch with its rank guarantee made checkable
+    (sketches.kll_quantiles): per-language n_chars p50/p90 from the
+    mergeable sketch, then each returned value's TRUE rank interval is
+    recomputed with a join back to the corpus and compared to the k=200
+    bound (normalized rank error ε=1.65%). The sketch's value column is
+    excluded from the output (KLL compaction is randomized); the oracle
+    pins the deterministic part (group, n) exactly plus the bound
+    booleans as literal TRUE — sub-k groups are in exact mode, so the
+    booleans are deterministic at oracle scale."""
+    from post_processor_spark.analytics import sketches
+
+    d = _t(spark, sf, "documents").select("lang", "n_chars")
+    kq = sketches.kll_quantiles(d, ["lang"], "n_chars", qs=(0.5, 0.9), k=200)
+    eps = 0.0165
+    j = kq.join(d.withColumnRenamed("n_chars", "x"), "lang")
+    checks = []
+    for q, label in [(0.5, "q0_5"), (0.9, "q0_9")]:
+        below = F.sum((F.col("x") < F.col(label)).cast("long")) / F.max("n")
+        at_or_below = F.sum((F.col("x") <= F.col(label)).cast("long")) / F.max("n")
+        checks.append(
+            ((below <= q + eps) & (at_or_below >= q - eps)).alias(f"ok_{label}")
+        )
+    return (
+        j.groupBy("lang")
+        .agg(F.max("n").cast("long").alias("n"), *checks)
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans/filters/projections/aggregations (S*, P*, A*, O*)
@@ -1723,6 +1828,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_sample": _q_temperature_sample,
         "q_crawl_delta": _q_crawl_delta,
         "q_group_quantiles": _q_group_quantiles,
+        "q_collocations": _q_collocations,
+        "q_media_phash": _q_media_phash,
+        # mergeable sketches (HLL / theta / KLL — exact-mode oracle, dense-mode pytest)
+        "q_hll_rollup": _q_hll_rollup,
+        "q_theta_overlap": _q_theta_overlap,
+        "q_kll_quantiles": _q_kll_quantiles,
         "q_media_features": _q_media_features,
         # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
         "q_minhash_candidates": _q_minhash_candidates,
@@ -3166,6 +3277,76 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings c
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
             ) WHERE rank <= 4 ORDER BY query_id, rank
+        """,
+        # sketch queries: sparse/exact-mode estimates equal exact set
+        # sizes at oracle scale (see the _q_* docstrings); dense-mode
+        # error bounds are pinned in tests/test_sketches.py
+        "q_hll_rollup": """
+            SELECT event_type,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_days,
+                   count(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_theta_overlap": """
+            SELECT
+              (SELECT count(DISTINCT text) FROM documents
+                WHERE doc_id % 3 <> 0) AS n_corpus,
+              (SELECT count(DISTINCT text) FROM documents
+                WHERE doc_id % 2 = 0) AS n_benchmark,
+              (SELECT count(*) FROM (
+                 SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0
+                 INTERSECT
+                 SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+              )) AS n_overlap,
+              (SELECT count(*) FROM (
+                 SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0
+                 EXCEPT
+                 SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+              )) AS n_clean
+        """,
+        "q_kll_quantiles": """
+            SELECT lang, count(*) AS n,
+                   TRUE AS ok_q0_5, TRUE AS ok_q0_9
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q_media_phash": """
+            WITH bytes AS (
+              SELECT doc_id, g.i,
+                     CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 2*g.i + 1, 2))
+                          AS BIGINT) AS byte
+              FROM documents, unnest(generate_series(0, 31)) AS g(i)
+            ),
+            m AS (SELECT doc_id, sum(byte) / 64.0 AS mu FROM bytes GROUP BY doc_id)
+            SELECT CAST(b.doc_id AS VARCHAR) AS media_id,
+                   CASE b.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(coalesce(sum(CASE WHEN b.byte > m.mu
+                                          THEN (CAST(1 AS BIGINT) << b.i)
+                                          ELSE 0 END), 0) AS BIGINT) AS phash
+            FROM bytes b JOIN m ON m.doc_id = b.doc_id
+            GROUP BY b.doc_id ORDER BY media_id
+        """,
+        "q_collocations": """
+            WITH d AS (
+              SELECT string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents WHERE trim(text) <> ''
+            ),
+            uni AS (SELECT unnest(tk) AS w FROM d),
+            uc AS (SELECT w, count(*) AS nw FROM uni GROUP BY w),
+            pos AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM d),
+            big AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM pos),
+            bc AS (SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY w1, w2),
+            tot AS (SELECT (SELECT count(*) FROM uni) AS n_tok,
+                           (SELECT count(*) FROM big) AS n_big)
+            SELECT bc.w1, bc.w2, bc.n_pair, u1.nw AS n_w1, u2.nw AS n_w2,
+                   round(ln((bc.n_pair::DOUBLE / tot.n_big) /
+                            ((u1.nw::DOUBLE / tot.n_tok) *
+                             (u2.nw::DOUBLE / tot.n_tok))), 6) AS pmi
+            FROM bc CROSS JOIN tot
+            JOIN uc u1 ON u1.w = bc.w1
+            JOIN uc u2 ON u2.w = bc.w2
+            WHERE bc.n_pair >= 5
+            ORDER BY bc.w1, bc.w2
         """,
     }
 

@@ -65,6 +65,11 @@ HEADLINE_QUERIES = [
     "q_cocitation",
     "q_host_graph",
     "q_adaptive_quality",
+    "q_hll_rollup",
+    "q_theta_overlap",
+    "q_kll_quantiles",
+    "q_collocations",
+    "q_media_phash",
     "q_frontier_schedule",
     "q_seen_filter",
 ]

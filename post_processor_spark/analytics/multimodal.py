@@ -134,3 +134,57 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     vids = media.filter(F.col("kind") == "video")
     ts = F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
     return vids.select("media_id", F.explode(ts).alias("frame_ts_ms"))
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame, dim: int = 64, strict: bool = False) -> DataFrame:
+    """(media_id, kind, phash) — average-hash over the decoded samples:
+    decode (STUB — same codec boundary as extract_features) → pad to a
+    multiple of `dim` → `dim` bucket means → bit i set iff bucket i is
+    strictly above the padded-array mean → signed int64.
+
+    The media analog of dedup.simhash: a 64-bit signature whose hamming
+    distance tracks payload similarity, so near-duplicate media detection
+    at 100 TB reuses dedup.simhash_near_dups' 16-bit-quarter blocking
+    unchanged (pigeonhole-exact ≤3, equi-join — no all-pairs):
+
+        sig = perceptual_hash(media).select(F.col("media_id").alias("id"),
+                                            F.col("phash").alias("simhash"))
+        pairs = dedup.simhash_near_dups(sig, max_hamming=3)
+
+    Narrow Arrow-batched map, no shuffle; the bucket-mean/threshold
+    arithmetic is exact in float64 (integer byte sums, /dim a power of
+    two), which is what lets the DuckDB oracle reproduce the hash
+    bit-for-bit on the arithmetic synthetic payloads (q_media_phash)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                arr = _decode_stub(payload, kind, strict).astype(np.float64)
+                pad = int(np.ceil(len(arr) / dim) * dim)
+                padded = np.pad(arr, (0, pad - len(arr)))
+                buckets = padded.reshape(dim, -1).mean(axis=1)
+                mu = padded.mean()
+                h = np.uint64(0)
+                for i in range(dim):
+                    if buckets[i] > mu:
+                        h |= np.uint64(1) << np.uint64(i % 64)
+                hashes.append(int(h.astype(np.int64)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(gen, schema=PHASH_SCHEMA)

@@ -175,3 +175,74 @@ def hashed_linear_score(
     n = F.size(toks)
     logit = F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (adjacent-bigram PMI)
+# ---------------------------------------------------------------------------
+
+
+def collocations(
+    docs: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Corpus-level collocation mining: adjacent word bigrams scored by
+    pointwise mutual information. Output one row per bigram with
+    n_pair ≥ min_count:
+
+        (w1, w2, n_pair, n_w1, n_w2, pmi)
+
+    pmi = ln( (n_pair / N_bigrams) / ((n_w1 / N_tokens) · (n_w2 / N_tokens)) )
+
+    computed in exactly that division order (the DuckDB oracle mirrors
+    the tree; round(pmi, 6) absorbs last-ulp libm differences).
+
+    Scale shape: two hash aggregations with map-side combine (unigrams
+    keyed by token, bigrams by (w1, w2) — the min_count filter prunes
+    the long tail before the scoring joins), two 1-row total aggregates
+    joined by broadcast-able cross join, and two token-keyed joins to
+    attach unigram counts. No windows, no corpus self-join; the bigram
+    explode is the only row expansion (×(len-1) per doc). Hot-token
+    skew lands on single aggregation keys (combine-heavy), never on a
+    single partition's window.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(toks.alias("_tk"))
+    )
+    uni = base.select(F.explode("_tk").alias("w")).groupBy("w").agg(
+        F.count("*").alias("nw")
+    )
+    # sequence(1, 0) DESCENDS in Spark, so a single-token doc must short-
+    # circuit to an empty array before the transform ever indexes
+    pairs = F.when(
+        F.size("_tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - 1),
+            lambda i: F.struct(
+                F.element_at("_tk", i).alias("w1"),
+                F.element_at("_tk", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = base.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    totals = uni.agg(F.sum("nw").alias("n_tok")).crossJoin(
+        bc.agg(F.sum("n_pair").alias("n_big"))
+    )
+    scored = (
+        bc.filter(F.col("n_pair") >= min_count)
+        .crossJoin(F.broadcast(totals))
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("nw", "n_w1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("nw", "n_w2"), "w2")
+    )
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / F.col("n_big"))
+        / (
+            (F.col("n_w1").cast("double") / F.col("n_tok"))
+            * (F.col("n_w2").cast("double") / F.col("n_tok"))
+        )
+    )
+    return scored.select(
+        "w1", "w2", "n_pair", "n_w1", "n_w2", F.round(pmi, 6).alias("pmi")
+    )

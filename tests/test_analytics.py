@@ -570,3 +570,86 @@ def test_hashed_linear_score_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_collocations_matches_python_oracle(spark):
+    """Sequential oracle for PMI collocation mining: unigram/bigram
+    counts and the exact division tree over a corpus with a single-token
+    doc, an empty doc, and repeated bigrams."""
+    import math
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox sleeps",
+        "the quick brown cat",
+        "quick brown everywhere",
+        "solo",
+        "   ",
+        "brown the quick brown",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+
+    uni, big = {}, {}
+    for t in corpus:
+        tk = t.strip().lower().split()
+        if not tk:
+            continue
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(tk, tk[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n_tok, n_big = sum(uni.values()), sum(big.values())
+    want = {}
+    for (a, b), n in big.items():
+        if n >= 2:
+            pmi = math.log((n / n_big) / ((uni[a] / n_tok) * (uni[b] / n_tok)))
+            want[(a, b)] = (n, uni[a], uni[b], round(pmi, 6))
+
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["n_w1"], r["n_w2"], r["pmi"])
+        for r in text.collocations(docs, min_count=2).collect()
+    }
+    assert got == want
+    assert ("quick", "brown") in got  # the repeated collocation survives
+
+
+def test_collocations_min_count_prunes_tail(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "c d")], "doc_id long, text string"
+    )
+    got = text.collocations(docs, min_count=2).collect()
+    assert {(r["w1"], r["w2"]) for r in got} == {("a", "b")}
+
+
+def test_media_phash_near_dup_bridge(spark):
+    """perceptual_hash → dedup.simhash_near_dups: a one-byte payload
+    perturbation lands within hamming ≤3 of the original (caught by the
+    quarter-blocked pair join), while a structurally different payload
+    stays out."""
+    a = bytes([200] * 16 + [10] * 16)
+    b = bytes([200] * 15 + [10] + [10] * 16)  # one bucket flips → hamming 1
+    c = bytes([7] * 32)                        # all 32 low bits set → far
+    media = spark.createDataFrame(
+        [("a", "image", bytearray(a)), ("b", "image", bytearray(b)),
+         ("c", "image", bytearray(c))],
+        "media_id string, kind string, payload binary",
+    )
+    sig = multimodal.perceptual_hash(media).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("simhash")
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_dups(sig, max_hamming=3).collect()}
+    assert pairs == {("a", "b"): 1}
+
+
+def test_media_phash_deterministic_and_padded_bits_zero(spark):
+    """Stub-decoded sha payloads are 32 bytes → buckets 32..63 are pad
+    zeros and must never set a bit; the hash is stable across runs."""
+    from post_processor_spark.analytics import multimodal as mm
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    media = mm.synthetic_media(docs, arithmetic=True)
+    got1 = {r["media_id"]: r["phash"] for r in mm.perceptual_hash(media).collect()}
+    got2 = {r["media_id"]: r["phash"] for r in mm.perceptual_hash(media).collect()}
+    assert got1 == got2
+    assert all(0 <= h < (1 << 32) for h in got1.values())
