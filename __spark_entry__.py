@@ -1639,6 +1639,19 @@ def _q_inverted_index(spark, sf):
     ).orderBy("token")
 
 
+def _q_script_profile(spark, sf):
+    """Unicode script profiling (text.script_profile): per-document
+    counts for 7 writing-system classes + dominant script, map-only
+    regexp_count expressions. The oracle compiles the SAME codepoint
+    ranges as RE2 \\x{..} classes and replays the first-max tie-break
+    as a CASE walk."""
+    from post_processor_spark.analytics import text as text_mod
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    prof = text_mod.script_profile(d)
+    return prof.drop("text").orderBy("doc_id")
+
+
 def _q_media_phash(spark, sf):
     """Media perceptual hash (multimodal.perceptual_hash): 64-bucket
     average-hash over the stub-decoded payload bytes, Arrow-batched
@@ -1687,6 +1700,34 @@ def _q_hll_rollup(spark, sf):
         F.col("n_fine").cast("long").alias("n_days"),
         F.col("distinct_est").cast("long").alias("distinct_users"),
     ).orderBy("event_type")
+
+
+def _q_hll_incremental(spark, sf):
+    """Incremental sketch-table maintenance (sketches.hll_sketch_table /
+    merge_hll_tables / hll_estimate): the events stream split into two
+    batches, one stored HLL per (event_type) per batch, folded with the
+    full-outer pairwise union — never rescanning batch 1 while absorbing
+    batch 2. Sparse-mode estimates equal COUNT(DISTINCT) at oracle
+    scale; the promotion-regime merge band is pinned by
+    tests/test_sketches.test_merge_hll_tables_incremental_equals_direct."""
+    from post_processor_spark.analytics import sketches
+
+    ev = _t(spark, sf, "events")
+    t1 = sketches.hll_sketch_table(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id"
+    )
+    t2 = sketches.hll_sketch_table(
+        ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id"
+    )
+    merged = sketches.merge_hll_tables(t1, t2, ["event_type"])
+    return (
+        sketches.hll_estimate(merged)
+        .select(
+            "event_type",
+            F.col("distinct_est").cast("long").alias("distinct_users"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def _q_theta_overlap(spark, sf):
@@ -1830,8 +1871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_quantiles": _q_group_quantiles,
         "q_collocations": _q_collocations,
         "q_media_phash": _q_media_phash,
+        "q_script_profile": _q_script_profile,
         # mergeable sketches (HLL / theta / KLL — exact-mode oracle, dense-mode pytest)
         "q_hll_rollup": _q_hll_rollup,
+        "q_hll_incremental": _q_hll_incremental,
         "q_theta_overlap": _q_theta_overlap,
         "q_kll_quantiles": _q_kll_quantiles,
         "q_media_features": _q_media_features,
@@ -3287,6 +3330,10 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "q_hll_incremental": """
+            SELECT event_type, count(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "q_theta_overlap": """
             SELECT
               (SELECT count(DISTINCT text) FROM documents
@@ -3308,6 +3355,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n,
                    TRUE AS ok_q0_5, TRUE AS ok_q0_9
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q_script_profile": """
+            WITH c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z\\x{00C0}-\\x{024F}]')) AS n_latin,
+                len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) AS n_cyrillic,
+                len(regexp_extract_all(text, '[\\x{0370}-\\x{03FF}]')) AS n_greek,
+                len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}\\x{0750}-\\x{077F}]')) AS n_arabic,
+                len(regexp_extract_all(text, '[\\x{0590}-\\x{05FF}]')) AS n_hebrew,
+                len(regexp_extract_all(text, '[\\x{0900}-\\x{097F}]')) AS n_devanagari,
+                len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]')) AS n_cjk
+              FROM documents
+            )
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic,
+                   n_hebrew, n_devanagari, n_cjk,
+                   n_latin + n_cyrillic + n_greek + n_arabic + n_hebrew
+                     + n_devanagari + n_cjk AS n_scripted,
+                   CASE
+                     WHEN greatest(n_latin, n_cyrillic, n_greek, n_arabic,
+                                   n_hebrew, n_devanagari, n_cjk) = 0 THEN 'unknown'
+                     WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek,
+                            n_arabic, n_hebrew, n_devanagari, n_cjk) THEN 'latin'
+                     WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_greek,
+                            n_arabic, n_hebrew, n_devanagari, n_cjk) THEN 'cyrillic'
+                     WHEN n_greek = greatest(n_latin, n_cyrillic, n_greek,
+                            n_arabic, n_hebrew, n_devanagari, n_cjk) THEN 'greek'
+                     WHEN n_arabic = greatest(n_latin, n_cyrillic, n_greek,
+                            n_arabic, n_hebrew, n_devanagari, n_cjk) THEN 'arabic'
+                     WHEN n_hebrew = greatest(n_latin, n_cyrillic, n_greek,
+                            n_arabic, n_hebrew, n_devanagari, n_cjk) THEN 'hebrew'
+                     WHEN n_devanagari = greatest(n_latin, n_cyrillic, n_greek,
+                            n_arabic, n_hebrew, n_devanagari, n_cjk) THEN 'devanagari'
+                     ELSE 'cjk'
+                   END AS script
+            FROM c ORDER BY doc_id
         """,
         "q_media_phash": """
             WITH bytes AS (

@@ -66,10 +66,12 @@ HEADLINE_QUERIES = [
     "q_host_graph",
     "q_adaptive_quality",
     "q_hll_rollup",
+    "q_hll_incremental",
     "q_theta_overlap",
     "q_kll_quantiles",
     "q_collocations",
     "q_media_phash",
+    "q_script_profile",
     "q_frontier_schedule",
     "q_seen_filter",
 ]

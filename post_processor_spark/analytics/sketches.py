@@ -129,3 +129,49 @@ def kll_quantiles(
             F.kll_sketch_get_quantile_bigint("_sk", F.lit(float(q))).alias(label)
         )
     return sk.select(*cols)
+
+
+def hll_sketch_table(
+    df: DataFrame, key_cols: list[str], value_col: str, lgk: int = 14
+) -> DataFrame:
+    """(key..., hll binary) — one stored HLL sketch per key. The
+    mergeable-STATE form of hll_distinct: persist this table per batch /
+    crawl generation (it is a valid SnapshotStore append-table payload)
+    and fold batches with merge_hll_tables instead of rescanning
+    history — the same incremental-maintenance contract as the
+    frontier's bloom deltas (seen.merge_bloom), for cardinality
+    metrics."""
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(value_col, lgk).alias("hll")
+    )
+
+
+def merge_hll_tables(
+    prev: DataFrame, delta: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Fold a new batch's sketch table into the accumulated one:
+    full-outer join on the key, pairwise hll_union where both sides
+    exist, pass-through otherwise. At sparse cardinalities the folded
+    estimate equals the direct sketch exactly; in dense/coupon-promotion
+    regimes DataSketches' union composes through HLL_8 and the folded
+    estimate may differ from direct by a fraction of the sketch's own
+    ~0.8% standard error (both remain within the bound) —
+    test_merge_hll_tables_incremental_equals_direct pins both regimes.
+    One hash shuffle on the key per fold; under a bucketed store layout
+    (state.py) the exchange disappears."""
+    p = prev.select(*key_cols, F.col("hll").alias("_p"))
+    d = delta.select(*key_cols, F.col("hll").alias("_d"))
+    joined = p.join(d, key_cols, "full_outer")
+    merged = (
+        F.when(F.col("_p").isNull(), F.col("_d"))
+        .when(F.col("_d").isNull(), F.col("_p"))
+        .otherwise(F.hll_union("_p", "_d"))
+    )
+    return joined.select(*key_cols, merged.alias("hll"))
+
+
+def hll_estimate(table: DataFrame) -> DataFrame:
+    """Read side of the sketch table: attach distinct_est."""
+    return table.select(
+        "*", F.hll_sketch_estimate("hll").alias("distinct_est")
+    ).drop("hll")

@@ -246,3 +246,61 @@ def collocations(
     return scored.select(
         "w1", "w2", "n_pair", "n_w1", "n_w2", F.round(pmi, 6).alias("pmi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling (writing-system detection)
+# ---------------------------------------------------------------------------
+
+# Codepoint ranges per script class, expressed as literal range pairs so
+# BOTH engines compile the same character class: Spark (java.util.regex)
+# sees [Ѐ-ӿ]-style classes, the DuckDB oracle (RE2) the
+# equivalent [\x{0400}-\x{04FF}]. Coverage is the major blocks a crawl
+# actually hits, not all of Unicode (extend the table, not the logic).
+SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "latin": [(0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F)],
+    "cyrillic": [(0x0400, 0x04FF)],
+    "greek": [(0x0370, 0x03FF)],
+    "arabic": [(0x0600, 0x06FF), (0x0750, 0x077F)],
+    "hebrew": [(0x0590, 0x05FF)],
+    "devanagari": [(0x0900, 0x097F)],
+    "cjk": [(0x4E00, 0x9FFF), (0x3040, 0x30FF), (0xAC00, 0xD7AF)],
+}
+
+
+def _script_class(ranges: list[tuple[int, int]]) -> str:
+    return "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges) + "]"
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document writing-system profile: one count column per script
+    class in SCRIPT_RANGES (`n_<script>`), total letter count, and the
+    dominant script (`script` — max count, ties broken by the table
+    order above; 'unknown' when no class matches, e.g. digits-only).
+
+    Map-only regexp_count expressions, one codegen stage, no Python —
+    the scale profile of a 100 TB pass is the scan itself. Feeds
+    lang-ID (text.lang_id assumes Latin stopwords; route non-Latin
+    scripts to their own detector) and corpus-mix reporting."""
+    c = F.col(text_col)
+    counts = {
+        name: F.regexp_count(c, F.lit(_script_class(ranges)))
+        for name, ranges in SCRIPT_RANGES.items()
+    }
+    total = None
+    for expr in counts.values():
+        total = expr if total is None else total + expr
+    # greatest(...) needs a deterministic tie-break: walk the table in
+    # order and keep the first class achieving the max
+    best = F.lit("unknown")
+    best_n = F.lit(0)
+    for name in SCRIPT_RANGES:  # insertion order = priority order
+        is_better = counts[name] > best_n
+        best = F.when(is_better, F.lit(name)).otherwise(best)
+        best_n = F.when(is_better, counts[name]).otherwise(best_n)
+    return docs.select(
+        "*",
+        *[counts[n].alias(f"n_{n}") for n in SCRIPT_RANGES],
+        total.alias("n_scripted"),
+        best.alias("script"),
+    )

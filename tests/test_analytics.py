@@ -653,3 +653,34 @@ def test_media_phash_deterministic_and_padded_bits_zero(spark):
     got2 = {r["media_id"]: r["phash"] for r in mm.perceptual_hash(media).collect()}
     assert got1 == got2
     assert all(0 <= h < (1 << 32) for h in got1.values())
+
+
+def test_script_profile_detection_and_tiebreak(spark):
+    """Script counts per Unicode class, dominant-script pick, and the
+    first-in-table tie-break (latin beats cyrillic on equal counts)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, "Привет мир"),
+            (2, "γειά σου κόσμε"),
+            (3, "שלום עולם"),
+            (4, "مرحبا"),
+            (5, "नमस्ते"),
+            (6, "你好 こんにちは 안녕"),
+            (7, "ab аб"),       # 2 latin vs 2 cyrillic → tie → latin
+            (8, "1234 !!!"),    # no letters → unknown
+            (9, "mix Привет of two worlds"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.script_profile(docs).collect()}
+    assert rows[0]["script"] == "latin" and rows[0]["n_latin"] == 10
+    assert rows[1]["script"] == "cyrillic" and rows[1]["n_cyrillic"] == 9
+    assert rows[2]["script"] == "greek"
+    assert rows[3]["script"] == "hebrew"
+    assert rows[4]["script"] == "arabic"
+    assert rows[5]["script"] == "devanagari"
+    assert rows[6]["script"] == "cjk" and rows[6]["n_cjk"] == 9
+    assert rows[7]["script"] == "latin"
+    assert rows[8]["script"] == "unknown" and rows[8]["n_scripted"] == 0
+    assert rows[9]["script"] == "latin" and rows[9]["n_cyrillic"] == 6

@@ -106,3 +106,48 @@ def test_kll_quantiles_rejects_bad_rank(spark):
     df = _synth(spark, 100, 1, 10)
     with pytest.raises(ValueError):
         sketches.kll_quantiles(df, ["grp"], "v", qs=(1.5,))
+
+
+def test_merge_hll_tables_incremental_equals_direct(spark):
+    """Folding per-batch sketch tables (disjoint AND overlapping keys)
+    matches a direct sketch over the concatenated batches: exactly at
+    sparse cardinalities, within 1% in the coupon-promotion regime
+    (DataSketches' union composes through HLL_8 there, so folded and
+    direct register states can differ by less than the sketch's own
+    error) — the incremental-state contract."""
+    # sparse regime: small per-key cardinality → folded == direct == exact
+    small = [
+        _synth(spark, 4_000, 5, 300, seed_mult=2654435761),
+        _synth(spark, 3_000, 7, 300, seed_mult=40503),  # adds keys 5, 6
+    ]
+    acc = sketches.hll_sketch_table(small[0], ["grp"], "v")
+    acc = sketches.merge_hll_tables(
+        acc, sketches.hll_sketch_table(small[1], ["grp"], "v"), ["grp"]
+    )
+    folded = {r["grp"]: r["distinct_est"]
+              for r in sketches.hll_estimate(acc).collect()}
+    whole = small[0].unionByName(small[1])
+    exact = {r["grp"]: r["n"] for r in
+             whole.groupBy("grp").agg(F.countDistinct("v").alias("n")).collect()}
+    assert folded == exact
+    assert set(folded) == set(range(7))
+
+    # promotion regime: 3 batches, ~2k distinct per key → within 1% of direct
+    big = [
+        _synth(spark, 10_000, 5, 2_000, seed_mult=2654435761),
+        _synth(spark, 8_000, 3, 2_000, seed_mult=40503),
+        _synth(spark, 6_000, 7, 2_000, seed_mult=2147483647),
+    ]
+    acc = sketches.hll_sketch_table(big[0], ["grp"], "v")
+    for b in big[1:]:
+        acc = sketches.merge_hll_tables(
+            acc, sketches.hll_sketch_table(b, ["grp"], "v"), ["grp"]
+        )
+    folded = {r["grp"]: r["distinct_est"]
+              for r in sketches.hll_estimate(acc).collect()}
+    whole = big[0].unionByName(big[1]).unionByName(big[2])
+    direct = {r["grp"]: r["distinct_est"]
+              for r in sketches.hll_distinct(whole, ["grp"], "v").collect()}
+    assert set(folded) == set(direct)
+    for g, est in folded.items():
+        assert abs(est - direct[g]) / direct[g] < 0.01, (g, est, direct[g])
