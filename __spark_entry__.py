@@ -1639,6 +1639,40 @@ def _q_inverted_index(spark, sf):
     ).orderBy("token")
 
 
+def _q_edit_verify(spark, sf):
+    """Bounded edit-distance verification (dedup.edit_distance_verify):
+    deterministic candidate pairs (doc_id, doc_id + N/2), banded
+    Levenshtein at max_dist=30 with the length-gap short-circuit. The
+    oracle computes full levenshtein and replays the -1 banding as a
+    CASE — integer-exact."""
+    from post_processor_spark.analytics import dedup as dedup_mod
+
+    d = _t(spark, sf, "documents")
+    n = d.count()
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(n // 2)).alias("id_b"),
+    ).filter(F.col("id_b") < n)
+    out = dedup_mod.edit_distance_verify(pairs, d, max_dist=30)
+    return out.orderBy("id_a")
+
+
+def _q_weighted_sample(spark, sf):
+    """Weighted sampling without replacement (sampling.weighted_sample,
+    Efraimidis–Spirakis): top-10 docs per language by es_key = ln(u)/w,
+    u md5-derived, w = n_chars. Deterministic, so the oracle replays the
+    exact draw; round(es_key, 6) absorbs ln ulps."""
+    from post_processor_spark.analytics import sampling
+
+    d = _t(spark, sf, "documents")
+    picked = sampling.weighted_sample(
+        d, k=10, weight_col="n_chars", key_col="doc_id", strata_col="lang"
+    )
+    return picked.select(
+        "doc_id", "lang", F.round("es_key", 6).alias("es_key")
+    ).orderBy("lang", "doc_id")
+
+
 def _q_script_profile(spark, sf):
     """Unicode script profiling (text.script_profile): per-document
     counts for 7 writing-system classes + dominant script, map-only
@@ -1872,6 +1906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collocations": _q_collocations,
         "q_media_phash": _q_media_phash,
         "q_script_profile": _q_script_profile,
+        "q_weighted_sample": _q_weighted_sample,
+        "q_edit_verify": _q_edit_verify,
         # mergeable sketches (HLL / theta / KLL — exact-mode oracle, dense-mode pytest)
         "q_hll_rollup": _q_hll_rollup,
         "q_hll_incremental": _q_hll_incremental,
@@ -3355,6 +3391,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n,
                    TRUE AS ok_q0_5, TRUE AS ok_q0_9
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q_edit_verify": """
+            WITH n AS (SELECT count(*) AS c FROM documents),
+            pairs AS (
+              SELECT d.doc_id AS id_a, d.doc_id + (SELECT c // 2 FROM n) AS id_b
+              FROM documents d
+              WHERE d.doc_id + (SELECT c // 2 FROM n) < (SELECT c FROM n)
+            ),
+            j AS (
+              SELECT p.id_a, p.id_b,
+                     length(a.text) AS len_a, length(b.text) AS len_b,
+                     CASE
+                       WHEN abs(length(a.text) - length(b.text)) > 30 THEN -1
+                       WHEN levenshtein(a.text, b.text) <= 30
+                         THEN levenshtein(a.text, b.text)
+                       ELSE -1
+                     END AS dist
+              FROM pairs p
+              JOIN documents a ON a.doc_id = p.id_a
+              JOIN documents b ON b.doc_id = p.id_b
+            )
+            SELECT id_a, id_b, len_a, len_b, dist, dist >= 0 AS is_dup
+            FROM j ORDER BY id_a
+        """,
+        "q_weighted_sample": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE
+                        / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_key
+              FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+            ),
+            r AS (
+              SELECT doc_id, lang, es_key,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY es_key DESC, doc_id) AS rn
+              FROM s
+            )
+            SELECT doc_id, lang, round(es_key, 6) AS es_key
+            FROM r WHERE rn <= 10 ORDER BY lang, doc_id
         """,
         "q_script_profile": """
             WITH c AS (

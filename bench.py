@@ -72,6 +72,8 @@ HEADLINE_QUERIES = [
     "q_collocations",
     "q_media_phash",
     "q_script_profile",
+    "q_weighted_sample",
+    "q_edit_verify",
     "q_frontier_schedule",
     "q_seen_filter",
 ]

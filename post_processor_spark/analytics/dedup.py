@@ -890,3 +890,50 @@ def duplicate_passages(
             F.col("id").alias(id_col), "span_start", "span_end", "n_windows"
         )
     )
+
+
+def edit_distance_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    max_dist: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact bounded edit-distance verification for candidate pairs:
+    (id_a, id_b) → (id_a, id_b, len_a, len_b, dist, is_dup).
+
+    The verification stage that runs AFTER candidate generation (minhash
+    bands / simhash quarters / embedding grid): candidates are ≪ corpus,
+    so the cost profile is two hash joins on the id plus one bounded
+    Levenshtein per pair. `dist` is -1 when the true distance exceeds
+    max_dist — Spark's threshold form runs the banded O(max_dist·n) DP,
+    not the full O(n·m) table — and pairs whose LENGTH GAP alone proves
+    dist > max_dist short-circuit to -1 without running the DP at all
+    (|len_a − len_b| is a lower bound on edit distance). is_dup ⇔
+    dist ∈ [0, max_dist].
+
+    Length prefilter + bounded DP keep the stage safe against the
+    adversarial case (two long unrelated docs in one candidate bucket);
+    at 100 TB the joins broadcast the pair list when it is small or
+    hash-partition on id when it is not — either way the corpus text is
+    touched only for ids that appear in a pair."""
+    a = docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
+    )
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    len_a = F.length("_ta")
+    len_b = F.length("_tb")
+    dist = F.when(
+        F.abs(len_a - len_b) > max_dist, F.lit(-1)
+    ).otherwise(F.levenshtein("_ta", "_tb", max_dist))
+    return j.select(
+        "id_a",
+        "id_b",
+        len_a.alias("len_a"),
+        len_b.alias("len_b"),
+        dist.alias("dist"),
+        (dist >= 0).alias("is_dup"),
+    )

@@ -176,3 +176,47 @@ def quality_gate_per_group(
         .where(F.col(score_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws es_key = ln(u) / w with u = sample_u(key) and
+    w = weight > 0; the k rows with the LARGEST es_key are distributed
+    as a weight-proportional sample without replacement. Deterministic
+    like everything in this module — u comes from md5, so the draw is
+    reproducible across runs/engines and the DuckDB oracle replays it
+    bit-for-bit (ties broken by key).
+
+    Rows with weight ≤ 0 are excluded (A-ES is undefined there);
+    ln(u → 0) → -inf simply never wins, no special-casing.
+
+    Scale shape: global form is sort-free TakeOrderedAndProject
+    (per-partition top-k heaps + driver merge of k·P candidates — no
+    full sort, no shuffle of the corpus); per-stratum form is ONE hash
+    shuffle on the stratum key + in-partition rank. The weight column
+    stays arbitrary (token counts, quality scores, inverse duplication
+    counts) — this is the "sample the mix by importance" primitive a
+    training-data pipeline runs after scoring.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0: {k}")
+    w = F.col(weight_col).cast("double")
+    es = F.log(sample_u(F.col(key_col), salt)) / w
+    base = df.filter(w > 0).withColumn("es_key", es)
+    if strata_col is None:
+        return base.orderBy(F.desc("es_key"), key_col).limit(k)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(strata_col).orderBy(F.desc("es_key"), key_col)
+    return (
+        base.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

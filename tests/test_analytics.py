@@ -684,3 +684,43 @@ def test_script_profile_detection_and_tiebreak(spark):
     assert rows[7]["script"] == "latin"
     assert rows[8]["script"] == "unknown" and rows[8]["n_scripted"] == 0
     assert rows[9]["script"] == "latin" and rows[9]["n_cyrillic"] == 6
+
+
+def test_edit_distance_verify_matches_python_oracle(spark):
+    """Banded Levenshtein verification vs a sequential DP oracle,
+    covering below-threshold, above-threshold (-1), and the length-gap
+    short-circuit."""
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumped over the lazy dog",  # tiny edit
+        2: "a completely different document altogether here",
+        3: "x" * 200,  # length gap vs everything → short-circuit
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "id_a long, id_b long"
+    )
+    got = {(r["id_a"], r["id_b"]): (r["dist"], r["is_dup"])
+           for r in dedup.edit_distance_verify(pairs, docs, max_dist=10).collect()}
+    for (ia, ib), (dist, is_dup) in got.items():
+        sa, sb = texts[ia], texts[ib]
+        if abs(len(sa) - len(sb)) > 10:
+            want = -1
+        else:
+            d = lev(sa, sb)
+            want = d if d <= 10 else -1
+        assert dist == want, (ia, ib, dist, want)
+        assert is_dup == (want >= 0)
+    assert got[(0, 1)][0] == 2 and got[(0, 1)][1]
+    assert got[(0, 3)][0] == -1

@@ -173,3 +173,53 @@ def test_quality_gate_per_group_exact_and_approx(spark):
         ).collect()
     }
     assert got_approx == expect
+
+
+def test_weighted_sample_matches_python_oracle(spark):
+    """A-ES draw replayed sequentially: same md5 u, same ln(u)/w keys,
+    same top-k — global and per-stratum forms."""
+    import hashlib
+    import math
+
+    import pytest
+
+    rows = [(i, "ab"[i % 2], float(1 + (i * 7) % 50)) for i in range(60)]
+    rows.append((60, "a", 0.0))   # non-positive weight → excluded
+    rows.append((61, "b", -3.0))
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+
+    def u(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+
+    scored = [(i, g, math.log(u(i)) / w) for i, g, w in rows if w > 0]
+
+    want_global = sorted(scored, key=lambda t: (-t[2], t[0]))[:7]
+    got_global = sampling.weighted_sample(df, 7, "w", key_col="doc_id").collect()
+    assert [r["doc_id"] for r in got_global] == [t[0] for t in want_global]
+
+    want_strat = set()
+    for g in ("a", "b"):
+        grp = sorted((t for t in scored if t[1] == g), key=lambda t: (-t[2], t[0]))
+        want_strat |= {t[0] for t in grp[:5]}
+    got_strat = sampling.weighted_sample(
+        df, 5, "w", key_col="doc_id", strata_col="grp"
+    ).collect()
+    assert {r["doc_id"] for r in got_strat} == want_strat
+
+    with pytest.raises(ValueError):
+        sampling.weighted_sample(df, 0, "w")
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Statistical sanity: one row with 1000x the weight of the rest is
+    picked in (nearly) every salt's draw of k=3 from 100 rows."""
+    df = spark.createDataFrame(
+        [(i, 1000.0 if i == 42 else 1.0) for i in range(100)],
+        "doc_id long, w double",
+    )
+    hits = 0
+    for salt in ("s1", "s2", "s3", "s4", "s5"):
+        picked = {r["doc_id"] for r in
+                  sampling.weighted_sample(df, 3, "w", salt=salt).collect()}
+        hits += 42 in picked
+    assert hits >= 4
