@@ -229,3 +229,53 @@ def metrics_window(
             F.sum("rows_out").alias("discovered_new"),
         )
     )
+
+
+def start_host_cardinality_stream(
+    spark: SparkSession,
+    store: SnapshotStore,
+    seed_dir: str,
+    checkpoint_dir: str,
+    lgk: int = 14,
+):
+    """foreachBatch sketch maintenance: every seed micro-batch is
+    canonicalized and folded into a per-host HLL sketch table
+    ('host_hll' snapshot table) — distinct-URLs-per-host crawl metrics
+    maintained incrementally across micro-batches AND restarts, without
+    ever rescanning history (sketches.merge_hll_tables).
+
+    Exactly-once accounting for free: foreachBatch is at-least-once
+    under failure/recovery, which breaks additive counters (a replayed
+    batch double-counts) — but HLL union is IDEMPOTENT (register max:
+    folding the same batch twice changes nothing), so the sketch table
+    is correct under replay with no dedup bookkeeping. That is the
+    reason the metric is a sketch rather than a count even where exact
+    counting would fit in memory.
+
+    Read side: sketches.hll_estimate(store.read(spark, 'host_hll')).
+    The snapshot-mode write is a full rewrite of |hosts| rows — tiny
+    (one fixed-size binary per host); the raw URL traffic never lands
+    in state."""
+    from . import canon
+    from .analytics import sketches
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        batch = canon.with_canonical(batch_df).select("host_hash", "url_hash")
+        delta = sketches.hll_sketch_table(batch, ["host_hash"], "url_hash", lgk)
+        gen = (store.current_generation("host_hll") or 0) + 1
+        try:
+            prev = store.read(spark, "host_hll")
+            merged = sketches.merge_hll_tables(prev, delta, ["host_hash"])
+        except FileNotFoundError:
+            merged = delta
+        store.write("host_hll", merged, gen)
+
+    return (
+        seed_stream(spark, seed_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

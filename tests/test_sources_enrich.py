@@ -592,3 +592,73 @@ def test_parse_robots_txt_groups_and_agent_selection(spark):
         "https://a.com/mc-only/x": True,
         "https://a.com/fine": False,
     }
+
+
+def test_streaming_host_cardinality_sketches(spark, tmp_path):
+    """foreachBatch HLL maintenance: two micro-batches with overlapping
+    URLs fold into per-host sketches whose estimates equal the exact
+    distinct count (sparse mode); replaying batch 2 under a fresh
+    checkpoint leaves the table unchanged (union idempotency — the
+    at-least-once recovery property the operator is designed around)."""
+    from post_processor_spark import streaming
+    from post_processor_spark.analytics import sketches
+    from post_processor_spark.state import SnapshotStore
+
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    b1 = [
+        {"url": f"https://host{i % 4}.example.com/p/{i}", "priority": 1, "seq": i}
+        for i in range(40)
+    ]
+    (seed_dir / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    store = SnapshotStore(str(tmp_path / "store"))
+    q = streaming.start_host_cardinality_stream(
+        spark, store, str(seed_dir), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    # batch 2: 20 repeats of batch 1 + 12 new URLs on 2 of the hosts
+    b2 = b1[:20] + [
+        {"url": f"https://host{i % 2}.example.com/new/{i}", "priority": 1, "seq": 100 + i}
+        for i in range(12)
+    ]
+    (seed_dir / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    q = streaming.start_host_cardinality_stream(
+        spark, store, str(seed_dir), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    est = {
+        r["host_hash"]: r["distinct_est"]
+        for r in sketches.hll_estimate(store.read(spark, "host_hll")).collect()
+    }
+    from post_processor_spark import canon
+
+    all_rows = spark.createDataFrame(
+        [(r["url"],) for r in b1 + b2], "url string"
+    )
+    exact = {
+        r["host_hash"]: r["n"]
+        for r in canon.with_canonical(all_rows)
+        .groupBy("host_hash")
+        .agg(F.countDistinct("url_hash").alias("n"))
+        .collect()
+    }
+    assert est == exact
+
+    # replay: same seed files, FRESH checkpoint → both batches re-fold;
+    # sketch union is idempotent so the estimates must not move
+    gen_before = store.current_generation("host_hll")
+    q = streaming.start_host_cardinality_stream(
+        spark, store, str(seed_dir), str(tmp_path / "ckpt_replay")
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert store.current_generation("host_hll") > gen_before
+    est2 = {
+        r["host_hash"]: r["distinct_est"]
+        for r in sketches.hll_estimate(store.read(spark, "host_hll")).collect()
+    }
+    assert est2 == est
