@@ -84,6 +84,17 @@ def _decode_stub(payload: bytes, kind: str, strict: bool) -> np.ndarray:
     return np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float32)
 
 
+def _bucket_means(arr: np.ndarray, dim: int) -> tuple[np.ndarray, float]:
+    """Pad to a multiple of `dim`, return (`dim` bucket means, padded
+    mean). Dtype-preserving: feature extraction feeds float32 (schema is
+    float), perceptual_hash feeds float64 (exact /dim arithmetic for the
+    oracle) — shared so the pad/reshape logic can't drift between the
+    two."""
+    pad = int(np.ceil(len(arr) / dim) * dim)
+    padded = np.pad(arr, (0, pad - len(arr)))
+    return padded.reshape(dim, -1).mean(axis=1), padded.mean()
+
+
 def extract_features(
     media: DataFrame, dim: int = 8, strict: bool = False
 ) -> DataFrame:
@@ -100,9 +111,8 @@ def extract_features(
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 arr = _decode_stub(payload, kind, strict)
                 # 'feature' = dim bucket means over the decoded samples
-                pad = int(np.ceil(len(arr) / dim) * dim)
-                padded = np.pad(arr, (0, pad - len(arr)))
-                feats.append(padded.reshape(dim, -1).mean(axis=1).astype(np.float32).tolist())
+                buckets, _ = _bucket_means(arr, dim)
+                feats.append(buckets.astype(np.float32).tolist())
                 frames.append(int(kind == "video") * 16 or 1)
             yield pd.DataFrame(
                 {
@@ -163,21 +173,25 @@ def perceptual_hash(media: DataFrame, dim: int = 64, strict: bool = False) -> Da
     Narrow Arrow-batched map, no shuffle; the bucket-mean/threshold
     arithmetic is exact in float64 (integer byte sums, /dim a power of
     two), which is what lets the DuckDB oracle reproduce the hash
-    bit-for-bit on the arithmetic synthetic payloads (q_media_phash)."""
+    bit-for-bit on the arithmetic synthetic payloads (q_media_phash).
+
+    dim is capped at 64: the signature is one int64, and wrapping extra
+    buckets onto reused bit positions would OR unrelated buckets
+    together — the hash would stop being the documented average-hash and
+    hamming distances would be meaningless."""
+    if not 0 < dim <= 64:
+        raise ValueError(f"dim must be in [1, 64]: {dim}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 arr = _decode_stub(payload, kind, strict).astype(np.float64)
-                pad = int(np.ceil(len(arr) / dim) * dim)
-                padded = np.pad(arr, (0, pad - len(arr)))
-                buckets = padded.reshape(dim, -1).mean(axis=1)
-                mu = padded.mean()
+                buckets, mu = _bucket_means(arr, dim)
                 h = np.uint64(0)
                 for i in range(dim):
                     if buckets[i] > mu:
-                        h |= np.uint64(1) << np.uint64(i % 64)
+                        h |= np.uint64(1) << np.uint64(i)
                 hashes.append(int(h.astype(np.int64)))
             yield pd.DataFrame(
                 {

@@ -194,8 +194,11 @@ def weighted_sample(
     reproducible across runs/engines and the DuckDB oracle replays it
     bit-for-bit (ties broken by key).
 
-    Rows with weight ≤ 0 are excluded (A-ES is undefined there);
-    ln(u → 0) → -inf simply never wins, no special-casing.
+    Rows with weight ≤ 0 are excluded (A-ES is undefined there). A key
+    whose u lands exactly on 0 (probability 2^-32 — expected ~2 keys at
+    10^10 rows) gets es_key = -inf explicitly: Spark's log(0) is NULL,
+    not the -inf the A-ES limit calls for, and a NULL would sort
+    nulls-last yet still leak into small strata with a NULL es_key.
 
     Scale shape: global form is sort-free TakeOrderedAndProject
     (per-partition top-k heaps + driver merge of k·P candidates — no
@@ -208,7 +211,8 @@ def weighted_sample(
     if k <= 0:
         raise ValueError(f"k must be > 0: {k}")
     w = F.col(weight_col).cast("double")
-    es = F.log(sample_u(F.col(key_col), salt)) / w
+    u = sample_u(F.col(key_col), salt)
+    es = F.when(u > 0, F.log(u) / w).otherwise(F.lit(float("-inf")))
     base = df.filter(w > 0).withColumn("es_key", es)
     if strata_col is None:
         return base.orderBy(F.desc("es_key"), key_col).limit(k)

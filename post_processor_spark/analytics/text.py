@@ -205,11 +205,14 @@ def collocations(
     skew lands on single aggregation keys (combine-heavy), never on a
     single partition's window.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = (
-        docs.filter(F.trim(F.col(text_col)) != "")
-        .select(toks.alias("_tk"))
+    # filter the split's edge artifacts: Spark trim() strips SPACES only,
+    # so text ending in '\n' or '\t' yields a trailing '' token (and a
+    # leading one for '\n'-prefixed text) — without the filter every
+    # newline-terminated doc emits a bogus (last_word, '') bigram
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
+    base = docs.select(toks.alias("_tk")).filter(F.size("_tk") > 0)
     uni = base.select(F.explode("_tk").alias("w")).groupBy("w").agg(
         F.count("*").alias("nw")
     )

@@ -724,3 +724,28 @@ def test_edit_distance_verify_matches_python_oracle(spark):
         assert is_dup == (want >= 0)
     assert got[(0, 1)][0] == 2 and got[(0, 1)][1]
     assert got[(0, 3)][0] == -1
+
+
+def test_collocations_ignores_split_edge_empties(spark):
+    """Newline/tab-terminated docs must not emit '' tokens or
+    (word, '') bigrams — Spark trim() strips spaces only, so the
+    tokenizer filters split edge artifacts explicitly."""
+    docs = spark.createDataFrame(
+        [(0, "hello world\n"), (1, "\thello world"), (2, "hello world")],
+        "doc_id long, text string",
+    )
+    got = text.collocations(docs, min_count=2).collect()
+    assert {(r["w1"], r["w2"]) for r in got} == {("hello", "world")}
+    row = got[0]
+    assert row["n_pair"] == 3 and row["n_w1"] == 3 and row["n_w2"] == 3
+
+
+def test_perceptual_hash_rejects_wide_dim(spark):
+    import pytest
+
+    media = spark.createDataFrame(
+        [("a", "image", bytearray(b"\x01\x02"))],
+        "media_id string, kind string, payload binary",
+    )
+    with pytest.raises(ValueError):
+        multimodal.perceptual_hash(media, dim=128)
