@@ -1,0 +1,104 @@
+"""End-to-end training-corpus construction recipe: the composition a
+user of this engine actually runs, wired from the individual operators
+(clean → dedup → decontaminate → sample → pack) with one declared plan —
+no materialization between stages, so Catalyst sees the whole lineage
+and every stage's filter folds into the single corpus scan where
+semantics allow.
+
+Reference analog: the reference's compiler.py chains its stages
+imperatively over pandas frames (load → match → merge → output); this is
+the same chain-of-stages idea expressed as one lazy DataFrame program
+over the analytics operators.
+
+Scale notes per stage are in the called operators' docstrings; the
+composition itself adds nothing but projections. `corpus_report` folds
+the per-stage cardinalities into ONE DataFrame (a union of 1-row
+aggregates) so the whole report is a single collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import clean, decontam, dedup, packing, sampling
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    min_words: int = 5,
+    min_lines: int = 3,
+    decontam_n: int = 13,
+    temperature_alpha: float | None = None,
+    sample_budget_fraction: float | None = None,
+    pack_budget: int = 2048,
+    salt: str = "",
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """The standard cleaning→packing chain, returned as (packed, stages):
+
+    1. C4-style line/doc cleaning (clean.c4_clean)
+    2. exact dedup on the normalized text (dedup.exact_dedup)
+    3. benchmark n-gram decontamination (decontam.decontaminate),
+       skipped when no benchmark is given
+    4. temperature/mixture sampling to a corpus budget fraction
+       (sampling.temperature_sample), skipped unless BOTH
+       temperature_alpha and sample_budget_fraction are set
+    5. concat-and-chunk sequence packing (packing.pack_sequences)
+
+    `stages` maps stage name → the DataFrame AS OF that stage, for
+    reporting (corpus_report) or for forking the pipeline (e.g. running
+    near-dup clustering on the deduped view); every value is lazy —
+    nothing is computed until an action runs.
+    """
+    stages: dict[str, DataFrame] = {"raw": docs}
+    cleaned = clean.c4_clean(
+        docs, text_col=text_col, min_words=min_words, min_lines=min_lines
+    )
+    stages["cleaned"] = cleaned
+    deduped = dedup.exact_dedup(cleaned, text_col=text_col, id_col=id_col)
+    stages["deduped"] = deduped
+    current = deduped
+    if benchmark is not None:
+        current = decontam.decontaminate(
+            current, benchmark, text_col=text_col, id_col=id_col, n=decontam_n
+        )
+        stages["decontaminated"] = current
+    if temperature_alpha is not None and sample_budget_fraction is not None:
+        current = sampling.temperature_sample(
+            current,
+            strata_col,
+            alpha=temperature_alpha,
+            budget_fraction=sample_budget_fraction,
+            key_col=id_col,
+            salt=salt,
+        )
+        stages["sampled"] = current
+    packed = packing.pack_sequences(
+        current,
+        budget=pack_budget,
+        text_col=text_col,
+        shard_col=strata_col,
+        order_col=id_col,
+    )
+    stages["packed"] = packed
+    return packed, stages
+
+
+def corpus_report(stages: dict[str, DataFrame]) -> DataFrame:
+    """(stage, n_docs) — one row per pipeline stage, in pipeline order,
+    as a single unioned aggregate (one collect computes the whole
+    funnel). Stage order is the dict's insertion order."""
+    out = None
+    for i, (name, df) in enumerate(stages.items()):
+        row = df.agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage_idx")

@@ -63,10 +63,11 @@ def hll_rollup(
     """Two-level mergeable rollup: sketch once at the fine grain
     (fine_cols ⊇ coarse_cols partitioning), then UNION-MERGE the fine
     sketches per coarse group — the coarse level never rescans raw rows.
-    At equal lgK the union of the fine sketches is register-identical to
-    sketching the coarse group directly (max over per-register values is
-    associative), so the rollup loses nothing; test pins estimate
-    equality. Output: (coarse..., n_fine, distinct_est)."""
+    Union-merging loses nothing for estimation: the test pins estimate
+    equality against the direct coarse sketch on the fixture (exact in
+    sparse mode; see merge_hll_tables for the dense-regime caveat on
+    DataSketches' HLL_8 union composition).
+    Output: (coarse..., n_fine, distinct_est)."""
     fine = df.groupBy(*fine_cols).agg(
         F.hll_sketch_agg(value_col, lgk).alias("_sk")
     )
