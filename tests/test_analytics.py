@@ -749,3 +749,14 @@ def test_perceptual_hash_rejects_wide_dim(spark):
     )
     with pytest.raises(ValueError):
         multimodal.perceptual_hash(media, dim=128)
+
+
+def test_script_profile_plans_map_only(spark):
+    """script_profile is pure per-row regexp counting — the physical
+    plan must contain no Exchange (the 100 TB cost is the scan)."""
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    plan = (
+        text.script_profile(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

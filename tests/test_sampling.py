@@ -223,3 +223,21 @@ def test_weighted_sample_favors_heavy_rows(spark):
                   sampling.weighted_sample(df, 3, "w", salt=salt).collect()}
         hits += 42 in picked
     assert hits >= 4
+
+
+def test_weighted_sample_global_plans_take_ordered(spark):
+    """Global A-ES top-k must plan as TakeOrderedAndProject (per-
+    partition heaps + driver merge of k), never a full sort of the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 7) + 1).cast("double").alias("w"),
+    )
+    plan = (
+        sampling.weighted_sample(df, 5, "w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
