@@ -1789,6 +1789,47 @@ def _q_theta_overlap(spark, sf):
     )
 
 
+def _q_theta_overlap_by(spark, sf):
+    """Grouped theta set algebra (sketches.theta_overlap_by): per-
+    language corpus×benchmark distinct-text overlap. Exact mode at
+    oracle scale (≤2^14 distinct per (lang, side)), so the estimates
+    equal DuckDB's grouped INTERSECT counts; long casts are exact-mode
+    integers."""
+    from post_processor_spark.analytics import sketches
+
+    d = _t(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    benchmark = d.filter(F.col("doc_id") % 2 == 0)
+    out = sketches.theta_overlap_by(corpus, benchmark, "lang", "text")
+    return out.select(
+        "lang",
+        F.col("n_left_est").cast("long").alias("n_corpus"),
+        F.col("n_right_est").cast("long").alias("n_benchmark"),
+        F.col("n_overlap_est").cast("long").alias("n_overlap"),
+    ).orderBy("lang")
+
+
+def _q_strip_boilerplate(spark, sf):
+    """Per-group boilerplate removal (dedup.strip_boilerplate): lines
+    synthesized so every doc carries one per-source chrome line (df =
+    docs-per-source ≥ min_df) plus its unique body line; the chrome must
+    vanish from every doc, bodies survive. The oracle rebuilds the same
+    construction and the df-threshold filter relationally."""
+    from post_processor_spark.analytics import dedup as dedup_mod
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("COOKIE BANNER for "), F.col("source"),
+            F.lit("\nbody "), F.col("doc_id").cast("string"),
+            F.lit("\nfooter of "), F.col("source"),
+        ).alias("text"),
+    )
+    out = dedup_mod.strip_boilerplate(d, group_col="source", min_df=5)
+    return out.select("doc_id", "source", "text").orderBy("doc_id")
+
+
 def _q_kll_quantiles(spark, sf):
     """KLL quantile sketch with its rank guarantee made checkable
     (sketches.kll_quantiles): per-language n_chars p50/p90 from the
@@ -1915,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_rollup": _q_hll_rollup,
         "q_hll_incremental": _q_hll_incremental,
         "q_theta_overlap": _q_theta_overlap,
+        "q_theta_overlap_by": _q_theta_overlap_by,
+        "q_strip_boilerplate": _q_strip_boilerplate,
         "q_kll_quantiles": _q_kll_quantiles,
         "q_media_features": _q_media_features,
         # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
@@ -3389,6 +3432,37 @@ def oracle_sql() -> dict[str, str]:
                  EXCEPT
                  SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
               )) AS n_clean
+        """,
+        "q_theta_overlap_by": """
+            WITH l AS (SELECT DISTINCT lang, text FROM documents
+                       WHERE doc_id % 3 <> 0),
+            r AS (SELECT DISTINCT lang, text FROM documents
+                  WHERE doc_id % 2 = 0),
+            lc AS (SELECT lang, count(*) AS n FROM l GROUP BY lang),
+            rc AS (SELECT lang, count(*) AS n FROM r GROUP BY lang),
+            ov AS (SELECT lang, count(*) AS n FROM (
+                     SELECT * FROM l INTERSECT SELECT * FROM r
+                   ) GROUP BY lang)
+            SELECT coalesce(lc.lang, rc.lang) AS lang,
+                   coalesce(lc.n, 0) AS n_corpus,
+                   coalesce(rc.n, 0) AS n_benchmark,
+                   coalesce(ov.n, 0) AS n_overlap
+            FROM lc FULL OUTER JOIN rc ON rc.lang = lc.lang
+            LEFT JOIN ov ON ov.lang = coalesce(lc.lang, rc.lang)
+            ORDER BY lang
+        """,
+        "q_strip_boilerplate": """
+            WITH src AS (SELECT source, count(*) AS n FROM documents
+                         GROUP BY source)
+            SELECT d.doc_id, d.source,
+                   CASE WHEN s.n >= 5
+                        THEN 'body ' || CAST(d.doc_id AS VARCHAR)
+                        ELSE 'COOKIE BANNER for ' || d.source || chr(10)
+                             || 'body ' || CAST(d.doc_id AS VARCHAR) || chr(10)
+                             || 'footer of ' || d.source
+                   END AS text
+            FROM documents d JOIN src s ON s.source = d.source
+            ORDER BY d.doc_id
         """,
         "q_kll_quantiles": """
             SELECT lang, count(*) AS n,

@@ -68,6 +68,8 @@ HEADLINE_QUERIES = [
     "q_hll_rollup",
     "q_hll_incremental",
     "q_theta_overlap",
+    "q_theta_overlap_by",
+    "q_strip_boilerplate",
     "q_kll_quantiles",
     "q_collocations",
     "q_media_phash",

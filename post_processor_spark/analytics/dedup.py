@@ -937,3 +937,53 @@ def edit_distance_verify(
         dist.alias("dist"),
         (dist >= 0).alias("is_dup"),
     )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    group_col: str = "source",
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group boilerplate removal: a line that appears on ≥ min_df
+    DISTINCT documents of the same group (host / source) is chrome —
+    cookie banners, navigation, footers — and is dropped from EVERY
+    document of that group (unlike dedup_lines, which keeps the first
+    occurrence corpus-wide); rarer lines survive untouched. Documents
+    are rebuilt from surviving lines in original order; a doc whose
+    every line is boilerplate survives with empty text.
+
+    Plan: lines keyed by xxhash64 so wide text never rides an exchange;
+    per-(group, line) doc-frequency via two PARTIAL-aggregable stages
+    (distinct (group, lk, id) then count — a line on 10^8 pages
+    map-side-combines instead of sorting one hot partition) → broadcast-
+    able anti-join of the chrome keys → per-doc ordered reassembly."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    ).withColumn("line", F.trim("line")).filter(F.col("line") != "")
+    lines = lines.withColumn("lk", F.xxhash64("line"))
+    chrome = (
+        lines.select("grp", "lk", "id").distinct()
+        .groupBy("grp", "lk").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("grp", "lk")
+    )
+    kept = lines.join(chrome, ["grp", "lk"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_new_text")
+    )
+    out = docs.join(rebuilt, docs[id_col] == rebuilt["id"], "left").drop("id")
+    cols = [
+        F.coalesce(F.col("_new_text"), F.lit("")).alias(c) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return out.select(*cols)

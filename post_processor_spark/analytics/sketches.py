@@ -29,9 +29,10 @@ oracle-gated queries expose the DETERMINISTIC part exactly (group keys,
 exact counts computed alongside at test scale) plus the probabilistic
 part as a boolean against its published error bound — the oracle asserts
 the bound holds (literal TRUE) and everything else matches bit-for-bit.
-Pytest additionally pins: rollup-merge losslessness (union of fine
-sketches == direct coarse sketch, register-identical at equal lgK) and
-relative-error properties at larger synthetic cardinalities.
+Pytest additionally pins: rollup-merge estimate equality vs the direct
+coarse sketch (exact in sparse mode; within the sketch's own error band
+in the HLL_8-composed dense regime) and relative-error properties at
+larger synthetic cardinalities.
 """
 
 from __future__ import annotations
@@ -176,3 +177,35 @@ def hll_estimate(table: DataFrame) -> DataFrame:
     return table.select(
         "*", F.hll_sketch_estimate("hll").alias("distinct_est")
     ).drop("hll")
+
+
+def theta_overlap_by(
+    left: DataFrame,
+    right: DataFrame,
+    group_col: str,
+    key_col: str,
+    lg_nom: int = 14,
+) -> DataFrame:
+    """Per-group theta set algebra: one row per group value with
+    (n_left_est, n_right_est, n_overlap_est) over the distinct keys of
+    each side — the grouped form of theta_overlap (per-language /
+    per-source contamination estimates from one scan per side plus one
+    tiny sketch-table join). A group absent from one side reports 0 for
+    that side and the overlap."""
+    l = left.groupBy(group_col).agg(
+        F.theta_sketch_agg(key_col, lg_nom).alias("_lsk")
+    )
+    r = right.groupBy(group_col).agg(
+        F.theta_sketch_agg(key_col, lg_nom).alias("_rsk")
+    )
+    j = l.join(r, group_col, "full_outer")
+    est = F.theta_sketch_estimate
+    both = F.col("_lsk").isNotNull() & F.col("_rsk").isNotNull()
+    return j.select(
+        group_col,
+        F.coalesce(est("_lsk"), F.lit(0.0)).alias("n_left_est"),
+        F.coalesce(est("_rsk"), F.lit(0.0)).alias("n_right_est"),
+        F.when(both, est(F.theta_intersection("_lsk", "_rsk")))
+        .otherwise(F.lit(0.0))
+        .alias("n_overlap_est"),
+    )

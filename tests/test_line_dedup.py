@@ -43,3 +43,26 @@ def test_dedup_lines_keeps_schema_and_rowcount(spark):
     assert out.columns == df.columns
     got = {r["doc_id"]: (r["text"], r["source"]) for r in out.collect()}
     assert got == {1: ("a\nb", "x"), 2: ("c", "y")}
+
+
+def test_strip_boilerplate_per_group(spark):
+    """Chrome (df >= min_df within the group) vanishes from EVERY doc of
+    that group — including its first occurrence, unlike dedup_lines —
+    while the same line on another host below the threshold survives;
+    all-chrome docs come back empty."""
+    from post_processor_spark.analytics import dedup
+
+    rows = []
+    for i in range(5):  # host A: banner on all 5 docs
+        rows.append((i, "A", f"BANNER\nunique {i}"))
+    for i in range(5, 8):  # host B: same banner text but only 3 docs
+        rows.append((i, "B", f"BANNER\nother {i}"))
+    rows.append((8, "A", "BANNER"))  # all-chrome doc (6th A doc)
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.strip_boilerplate(docs, min_df=5).collect()}
+    for i in range(5):
+        assert out[i] == f"unique {i}"
+    for i in range(5, 8):
+        assert out[i] == f"BANNER\nother {i}"  # below threshold on B
+    assert out[8] == ""

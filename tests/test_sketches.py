@@ -151,3 +151,23 @@ def test_merge_hll_tables_incremental_equals_direct(spark):
     assert set(folded) == set(direct)
     for g, est in folded.items():
         assert abs(est - direct[g]) / direct[g] < 0.01, (g, est, direct[g])
+
+
+def test_theta_overlap_by_groups(spark):
+    """Per-group set algebra: exact-mode estimates per group, zeros for
+    one-sided groups."""
+    left = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(50)],
+        "grp string, k long",
+    )
+    right = spark.createDataFrame(
+        [("a", i) for i in range(80, 180)] + [("c", i) for i in range(30)],
+        "grp string, k long",
+    )
+    rows = {r["grp"]: r for r in
+            sketches.theta_overlap_by(left, right, "grp", "k").collect()}
+    assert rows["a"]["n_left_est"] == 100
+    assert rows["a"]["n_right_est"] == 100
+    assert rows["a"]["n_overlap_est"] == 20
+    assert rows["b"]["n_right_est"] == 0 and rows["b"]["n_overlap_est"] == 0
+    assert rows["c"]["n_left_est"] == 0 and rows["c"]["n_overlap_est"] == 0
