@@ -1639,6 +1639,33 @@ def _q_inverted_index(spark, sf):
     ).orderBy("token")
 
 
+def _q_url_templates(spark, sf):
+    """Route-template mining (canon.url_template /
+    url_template_counts): URLs synthesized with numeric ids, hex ids,
+    uuid-ish segments, query strings and mixed-case schemes collapse to
+    their route families; the oracle replays the same strip + collapse
+    regexes (RE2 'g' flag = Java replace-all)."""
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://www.Site"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".com/"),
+        F.element_at(
+            F.array(F.lit("article"), F.lit("tag"), F.lit("user")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.lit("/"), F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("/"), F.sha2(F.col("doc_id").cast("string"), 256)),
+        ).otherwise(F.lit("")),
+        F.lit("?utm="), F.col("doc_id").cast("string"), F.lit("#frag"),
+    )
+    return (
+        canon.url_template_counts(d.select(url.alias("url")))
+        .orderBy("template")
+    )
+
+
 def _q_edit_verify(spark, sf):
     """Bounded edit-distance verification (dedup.edit_distance_verify):
     deterministic candidate pairs (doc_id, doc_id + N/2), banded
@@ -1952,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_script_profile": _q_script_profile,
         "q_weighted_sample": _q_weighted_sample,
         "q_edit_verify": _q_edit_verify,
+        "q_url_templates": _q_url_templates,
         # mergeable sketches (HLL / theta / KLL — exact-mode oracle, dense-mode pytest)
         "q_hll_rollup": _q_hll_rollup,
         "q_hll_incremental": _q_hll_incremental,
@@ -3468,6 +3496,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n,
                    TRUE AS ok_q0_5, TRUE AS ok_q0_9
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q_url_templates": """
+            WITH u AS (
+              SELECT 'HTTPS://www.Site' || CAST(doc_id % 20 AS VARCHAR)
+                || '.com/'
+                || CASE doc_id % 3 WHEN 0 THEN 'article'
+                        WHEN 1 THEN 'tag' ELSE 'user' END
+                || '/' || CAST(doc_id AS VARCHAR)
+                || CASE WHEN doc_id % 4 = 0
+                        THEN '/' || sha256(CAST(doc_id AS VARCHAR))
+                        ELSE '' END
+                || '?utm=' || CAST(doc_id AS VARCHAR) || '#frag' AS url
+              FROM documents
+            ),
+            t AS (
+              SELECT regexp_replace(
+                       regexp_replace(
+                         lower(regexp_replace(
+                           string_split(string_split(url, '#')[1], '?')[1],
+                           '^[A-Za-z][A-Za-z0-9+.-]*://', '')),
+                         '[0-9a-f]{8,}', '{h}', 'g'),
+                       '[0-9]+', '{n}', 'g') AS template
+              FROM u
+            )
+            SELECT template, count(*) AS n_urls
+            FROM t GROUP BY template ORDER BY template
         """,
         "q_edit_verify": """
             WITH n AS (SELECT count(*) AS c FROM documents),

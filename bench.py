@@ -76,6 +76,7 @@ HEADLINE_QUERIES = [
     "q_script_profile",
     "q_weighted_sample",
     "q_edit_verify",
+    "q_url_templates",
     "q_frontier_schedule",
     "q_seen_filter",
 ]

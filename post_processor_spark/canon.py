@@ -522,3 +522,41 @@ def is_crawl_trap(
         | (s["url_len"] > max_len)
         | s["has_session"]
     )
+
+
+def url_template(url_col):
+    """Collapse a URL to its route TEMPLATE: scheme/fragment dropped,
+    query string dropped, route lowercased, then across the whole
+    route (host included — shard hosts like cdn3.example.com group
+    too) every ≥8-char hex run (ids, uuids, hashes) → '{h}' and every
+    remaining digit run → '{n}'.
+
+    'https://a.com/article/123?utm=x' and 'https://a.com/article/456'
+    both map to 'a.com/article/{n}' — the key for crawl-pattern
+    analysis (which route families dominate the frontier, which are
+    crawl-trap shaped) and for per-template budgets. Pure column
+    expressions; composes with url_trap_signals, which scores single
+    URLs where this groups them."""
+    u = F.trim(url_col)
+    no_frag = F.substring_index(u, "#", 1)
+    no_query = F.substring_index(no_frag, "?", 1)
+    # strip scheme if present, then lowercase the whole route
+    rest = F.when(
+        no_query.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+        F.regexp_replace(no_query, "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+    ).otherwise(no_query)
+    route = F.lower(rest)
+    hexed = F.regexp_replace(route, r"[0-9a-f]{8,}", "{h}")
+    return F.regexp_replace(hexed, r"[0-9]+", "{n}")
+
+
+def url_template_counts(df, url_col: str = "url"):
+    """(template, n_urls) — frontier/crawl-log rollup by route template.
+    One hash aggregation with map-side combine; a mega-template (one
+    route family dominating a 10^10 frontier) partial-aggregates instead
+    of concentrating raw URLs anywhere."""
+    return (
+        df.select(url_template(F.col(url_col)).alias("template"))
+        .groupBy("template")
+        .agg(F.count("*").alias("n_urls"))
+    )

@@ -242,3 +242,28 @@ def test_crawl_trap_signals_and_gate(spark):
         assert (r["d"], r["r"], r["np"], r["hs"], r["trap"]) == (
             d, rep, np_, hs, trap
         ), u
+
+
+def test_url_template_collapse(spark):
+    """Route-template collapse: numeric and hex ids group, query/frag
+    and scheme case vanish, hosts with shard digits group too."""
+    from post_processor_spark import canon
+    from pyspark.sql import functions as F
+
+    urls = [
+        "https://a.com/article/123?utm=x#f",
+        "HTTP://A.COM/article/456",
+        "https://cdn3.a.com/img/deadbeef01",
+        "https://cdn7.a.com/img/CAFEBABE99",  # hex is case-normalized first
+        "a.com/plain/path",
+        "https://a.com/u/550e8400e29b41d4a716446655440000/profile",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["template"]: r["n_urls"] for r in
+           canon.url_template_counts(df).collect()}
+    assert got == {
+        "a.com/article/{n}": 2,
+        "cdn{n}.a.com/img/{h}": 2,
+        "a.com/plain/path": 1,
+        "a.com/u/{h}/profile": 1,
+    }
