@@ -910,7 +910,8 @@ def edit_distance_verify(
     not the full O(n·m) table — and pairs whose LENGTH GAP alone proves
     dist > max_dist short-circuit to -1 without running the DP at all
     (|len_a − len_b| is a lower bound on edit distance). is_dup ⇔
-    dist ∈ [0, max_dist].
+    dist ∈ [0, max_dist]. A NULL text on either side yields dist=-1,
+    is_dup=false, len=-1 — never a NULL verdict.
 
     Length prefilter + bounded DP keep the stage safe against the
     adversarial case (two long unrelated docs in one candidate bucket);
@@ -924,9 +925,14 @@ def edit_distance_verify(
         F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
     )
     j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
-    len_a = F.length("_ta")
-    len_b = F.length("_tb")
+    # NULL text (or an id missing from docs after an outer variant) must
+    # not leak NULL into dist/is_dup: the contract is dist=-1 /
+    # is_dup=false whenever the pair cannot be verified.
+    len_a = F.coalesce(F.length("_ta"), F.lit(-1))
+    len_b = F.coalesce(F.length("_tb"), F.lit(-1))
     dist = F.when(
+        F.col("_ta").isNull() | F.col("_tb").isNull(), F.lit(-1)
+    ).when(
         F.abs(len_a - len_b) > max_dist, F.lit(-1)
     ).otherwise(F.levenshtein("_ta", "_tb", max_dist))
     return j.select(
@@ -950,9 +956,12 @@ def strip_boilerplate(
     DISTINCT documents of the same group (host / source) is chrome —
     cookie banners, navigation, footers — and is dropped from EVERY
     document of that group (unlike dedup_lines, which keeps the first
-    occurrence corpus-wide); rarer lines survive untouched. Documents
-    are rebuilt from surviving lines in original order; a doc whose
-    every line is boilerplate survives with empty text.
+    occurrence corpus-wide); rarer lines survive byte-identical (the
+    chrome KEY is the trimmed line — indentation variants of one banner
+    collapse — but surviving lines keep their original whitespace, so
+    the op is an identity on chrome-free documents). Blank lines are
+    never chrome and always survive. A doc whose every line is
+    boilerplate survives with empty text.
 
     Plan: lines keyed by xxhash64 so wide text never rides an exchange;
     per-(group, line) doc-frequency via two PARTIAL-aggregable stages
@@ -963,10 +972,15 @@ def strip_boilerplate(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
-    ).withColumn("line", F.trim("line")).filter(F.col("line") != "")
-    lines = lines.withColumn("lk", F.xxhash64("line"))
+    )
+    # chrome key = fully whitespace-trimmed line (regexp, not F.trim —
+    # trim strips spaces only, and a tab-indented banner must collapse
+    # onto the same key as its space-indented variants)
+    _tl = F.regexp_replace("line", r"^\s+|\s+$", "")
+    lines = lines.withColumn("lk", F.xxhash64(_tl))
     chrome = (
-        lines.select("grp", "lk", "id").distinct()
+        lines.filter(_tl != F.lit(""))
+        .select("grp", "lk", "id").distinct()
         .groupBy("grp", "lk").agg(F.count("*").alias("df"))
         .filter(F.col("df") >= min_df)
         .select("grp", "lk")

@@ -46,8 +46,10 @@ def build_training_corpus(
     3. benchmark n-gram decontamination (decontam.decontaminate),
        skipped when no benchmark is given
     4. temperature/mixture sampling to a corpus budget fraction
-       (sampling.temperature_sample), skipped unless BOTH
-       temperature_alpha and sample_budget_fraction are set
+       (sampling.temperature_sample), skipped when NEITHER
+       temperature_alpha nor sample_budget_fraction is set; setting
+       exactly one of the two raises ValueError (a silently unsampled
+       corpus is worse than a loud config error)
     5. concat-and-chunk sequence packing (packing.pack_sequences)
 
     `stages` maps stage name → the DataFrame AS OF that stage, for
@@ -68,6 +70,13 @@ def build_training_corpus(
             current, benchmark, text_col=text_col, id_col=id_col, n=decontam_n
         )
         stages["decontaminated"] = current
+    if (temperature_alpha is None) != (sample_budget_fraction is None):
+        raise ValueError(
+            "temperature_alpha and sample_budget_fraction must be set together "
+            "(got temperature_alpha=%r, sample_budget_fraction=%r); the sampling "
+            "stage runs only when both are provided"
+            % (temperature_alpha, sample_budget_fraction)
+        )
     if temperature_alpha is not None and sample_budget_fraction is not None:
         current = sampling.temperature_sample(
             current,

@@ -264,7 +264,8 @@ def start_host_cardinality_stream(
             return
         batch = canon.with_canonical(batch_df).select("host_hash", "url_hash")
         delta = sketches.hll_sketch_table(batch, ["host_hash"], "url_hash", lgk)
-        gen = (store.current_generation("host_hll") or 0) + 1
+        cur = store.current_generation("host_hll")
+        gen = (cur if cur is not None else 0) + 1
         try:
             prev = store.read(spark, "host_hll")
             merged = sketches.merge_hll_tables(prev, delta, ["host_hash"])

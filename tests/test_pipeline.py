@@ -63,3 +63,15 @@ def test_build_training_corpus_optional_stages(spark):
     assert "decontaminated" not in stages
     assert "sampled" in stages
     assert packed.count() >= 1
+
+
+def test_build_training_corpus_half_specified_sampling_raises(spark):
+    """Setting exactly one of temperature_alpha / sample_budget_fraction
+    is a config error, not a silent skip (round-4 ADVICE fix)."""
+    import pytest
+
+    docs = _corpus(spark)
+    with pytest.raises(ValueError, match="must be set together"):
+        pipeline.build_training_corpus(docs, None, temperature_alpha=0.5)
+    with pytest.raises(ValueError, match="must be set together"):
+        pipeline.build_training_corpus(docs, None, sample_budget_fraction=0.5)
