@@ -1892,43 +1892,77 @@ def _q_kll_quantiles(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # scans/filters/projections/aggregations (S*, P*, A*, O*)
+        # --- first 50 = the driver's correctness window: curated so the
+        # load-bearing surface (frontier/crawl core, citation graph,
+        # relational essentials, the full dedup family, cleaning/decontam,
+        # packing/sampling, similarity, sketches) all get driver-green
+        # rows every round. Everything below the fold stays oracle-gated
+        # via scripts_spark/check_oracle.py and pytest. ---
+        "q_frontier_schedule": _q_frontier_schedule,
+        "q_head_topk": _q_head_topk,
+        "q_seen_filter": _q_seen_filter,
+        "q_robots_gate": _q_robots_gate,
+        "q_url_canon": _q_url_canon,
+        "q_url_traps": _q_url_traps,
+        "q_recrawl": _q_recrawl,
+        "q_warc_scan": _q_warc_scan,
+        "q_robots_txt": _q_robots_txt,
+        "q_html_main_text": _q_html_main_text,
+        "q_referral_edges": _q_referral_edges,
+        "q_referral_probe": _q_referral_probe,
+        "q_interest_ranking": _q_interest_ranking,
         "q_pricing_summary": _q_pricing_summary,
-        "q_filter_revenue": _q_filter_revenue,
-        "q_top_orders": _q_top_orders,
         "q_revenue_by_nation": _q_revenue_by_nation,
         "q_semi_join": _q_semi_join,
+        "q_topk_per_group": _q_topk_per_group,
+        "q_sessionize": _q_sessionize,
+        "q_asof_join": _q_asof_join,
+        "q_json_extract": _q_json_extract,
+        "q_dedup_exact": _q_dedup_exact,
+        "q_minhash_md5": _q_minhash_md5,
+        "q_lsh_probe": _q_lsh_probe,
+        "q_simhash_md5": _q_simhash_md5,
+        "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_edit_verify": _q_edit_verify,
+        "q_embedding_neardup": _q_embedding_neardup,
+        "q_neardup_clusters": _q_neardup_clusters,
+        "q_neardup_keep": _q_neardup_keep,
+        "q_line_dedup": _q_line_dedup,
+        "q_passage_dedup": _q_passage_dedup,
+        "q_strip_boilerplate": _q_strip_boilerplate,
+        "q_decontaminate": _q_decontaminate,
+        "q_repetition": _q_repetition,
+        "q_pii_redact": _q_pii_redact,
+        "q_c4_clean": _q_c4_clean,
+        "q_text_profile": _q_text_profile,
+        "q_quality_classifier": _q_quality_classifier,
+        "q_lang_id": _q_lang_id,
+        "q_seq_pack": _q_seq_pack,
+        "q_token_budget": _q_token_budget,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_temperature_sample": _q_temperature_sample,
+        "q_holdout_split": _q_holdout_split,
+        "q_weighted_sample": _q_weighted_sample,
+        "q_ann_cosine": _q_ann_cosine,
+        "q_hll_rollup": _q_hll_rollup,
+        "q_kll_quantiles": _q_kll_quantiles,
+        "q_theta_overlap": _q_theta_overlap,
+        "q_pagerank": _q_pagerank,
+        # --- below the fold: redundant-evidence variants + the long tail ---
+        "q_filter_revenue": _q_filter_revenue,
+        "q_top_orders": _q_top_orders,
         "q_anti_join": _q_anti_join,
         "q_union_by_status": _q_union_by_status,
-        "q_topk_per_group": _q_topk_per_group,
         "q_first_event_per_user": _q_first_event_per_user,
-        "q_asof_join": _q_asof_join,
-        "q_sessionize": _q_sessionize,
         "q_event_minute": _q_event_minute,
-        "q_json_extract": _q_json_extract,
         "q_regexp_extract": _q_regexp_extract,
         "q_month_orders": _q_month_orders,
         "q_distinct_customers": _q_distinct_customers,
         "q_wordcount": _q_wordcount,
-        # citation/referral graph (J1/J3/J7, A1-A3)
-        "q_referral_edges": _q_referral_edges,
-        "q_referral_probe": _q_referral_probe,
         "q_synthetic_nodes": _q_synthetic_nodes,
-        # URL canonicalization (P16/P17)
-        "q_url_canon": _q_url_canon,
-        # training-data ops
-        "q_dedup_exact": _q_dedup_exact,
         "q_token_stats": _q_token_stats,
         "q_stopword_ratio": _q_stopword_ratio,
-        "q_lang_id": _q_lang_id,
-        "q_ngram_jaccard": _q_ngram_jaccard,
-        "q_ann_cosine": _q_ann_cosine,
-        "q_embedding_neardup": _q_embedding_neardup,
-        "q_neardup_clusters": _q_neardup_clusters,
-        "q_neardup_keep": _q_neardup_keep,
         "q_neardup_keep_best": _q_neardup_keep_best,
-        "q_interest_ranking": _q_interest_ranking,
-        "q_pagerank": _q_pagerank,
         "q_hits": _q_hits,
         "q_redirect_resolve": _q_redirect_resolve,
         "q_domain_mix": _q_domain_mix,
@@ -1939,54 +1973,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_adaptive_quality": _q_adaptive_quality,
         "q_record_dedup_desc": _q_record_dedup_desc,
         "q_scope_gate": _q_scope_gate,
-        # frontier core (oracle-checked: results are exact windows/anti-joins)
-        "q_frontier_schedule": _q_frontier_schedule,
-        "q_head_topk": _q_head_topk,
-        "q_seen_filter": _q_seen_filter,
         "q_seen_filter_prebuilt": _q_seen_filter_prebuilt,
-        "q_robots_gate": _q_robots_gate,
         "q_robots_allow": _q_robots_allow,
-        # hash-parameterized ops under the full gate (md5/sha256 variants)
-        "q_minhash_md5": _q_minhash_md5,
-        "q_simhash_md5": _q_simhash_md5,
-        "q_lsh_probe": _q_lsh_probe,
-        "q_decontaminate": _q_decontaminate,
-        "q_repetition": _q_repetition,
-        "q_stratified_sample": _q_stratified_sample,
-        "q_line_dedup": _q_line_dedup,
-        "q_text_profile": _q_text_profile,
         "q_contamination_report": _q_contamination_report,
-        "q_holdout_split": _q_holdout_split,
-        "q_pii_redact": _q_pii_redact,
-        "q_c4_clean": _q_c4_clean,
-        "q_seq_pack": _q_seq_pack,
-        "q_token_budget": _q_token_budget,
-        "q_recrawl": _q_recrawl,
-        "q_quality_classifier": _q_quality_classifier,
         "q_sitemap_scan": _q_sitemap_scan,
-        "q_html_main_text": _q_html_main_text,
         "q_anchor_profile": _q_anchor_profile,
-        "q_passage_dedup": _q_passage_dedup,
-        "q_warc_scan": _q_warc_scan,
-        "q_url_traps": _q_url_traps,
-        "q_robots_txt": _q_robots_txt,
         "q_range_join": _q_range_join,
-        "q_temperature_sample": _q_temperature_sample,
         "q_crawl_delta": _q_crawl_delta,
         "q_group_quantiles": _q_group_quantiles,
         "q_collocations": _q_collocations,
         "q_media_phash": _q_media_phash,
         "q_script_profile": _q_script_profile,
-        "q_weighted_sample": _q_weighted_sample,
-        "q_edit_verify": _q_edit_verify,
         "q_url_templates": _q_url_templates,
-        # mergeable sketches (HLL / theta / KLL — exact-mode oracle, dense-mode pytest)
-        "q_hll_rollup": _q_hll_rollup,
         "q_hll_incremental": _q_hll_incremental,
-        "q_theta_overlap": _q_theta_overlap,
         "q_theta_overlap_by": _q_theta_overlap_by,
-        "q_strip_boilerplate": _q_strip_boilerplate,
-        "q_kll_quantiles": _q_kll_quantiles,
         "q_media_features": _q_media_features,
         # rows-only (non-SQL-expressible: xxhash64-keyed signatures)
         "q_minhash_candidates": _q_minhash_candidates,
