@@ -1440,8 +1440,13 @@ def _q_url_traps(spark, sf):
             ),
         ).otherwise(F.lit("")),
     )
-    u = d.select("doc_id", url.alias("url"))
-    s = canon_mod.url_trap_signals(F.col("url"))
+    u = d.select(
+        "doc_id",
+        url.alias("url"),
+    ).withColumn("_sig", canon_mod.url_trap_signal_struct(F.col("url")))
+    # one projection boundary: the URL parse tree is analyzed once; the
+    # signal columns and the trap verdict are field reads of _sig
+    s = F.col("_sig")
     return u.select(
         "doc_id", "url",
         s["depth"].cast("long").alias("depth"),
@@ -1449,7 +1454,7 @@ def _q_url_traps(spark, sf):
         s["n_params"].cast("long").alias("n_params"),
         s["url_len"].cast("long").alias("url_len"),
         s["has_session"].alias("has_session"),
-        canon_mod.is_crawl_trap(F.col("url")).alias("is_trap"),
+        canon_mod.trap_verdict(s).alias("is_trap"),
     ).orderBy("doc_id")
 
 

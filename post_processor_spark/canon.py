@@ -459,10 +459,10 @@ def with_canonical(df, url_col: str = "url", prefix: str = ""):
 SESSION_MARKERS = ["jsessionid", "phpsessid", "sessionid", "session_id", "sid="]
 
 
-def url_trap_signals(url: Column) -> dict:
-    """Columnar URL-shape signals for crawl-trap detection, reusing the
-    single-pass _parse_url decomposition (no extra full-string regex
-    scans in the frontier hot path):
+def url_trap_signal_struct(url: Column) -> Column:
+    """ONE struct column (depth, max_repeat, n_params, url_len,
+    has_session) holding every URL-shape trap signal, reusing the
+    single-pass _parse_url decomposition:
 
     - depth: number of non-empty path segments
     - max_repeat: highest multiplicity of one path segment — calendar /
@@ -472,35 +472,82 @@ def url_trap_signals(url: Column) -> dict:
     - url_len: total URL length
     - has_session: a session-id marker appears anywhere in the URL
 
+    The parsed `rest` is bound ONCE via a 1-element transform lambda, so
+    the struct's expression tree carries a single copy of the _parse_url
+    decomposition. The pre-round-4 shape derived each signal from its own
+    copy of the parse tree, and every `when` over `rest`/`path` fanned
+    that copy out again — Catalyst spent ~3.3 s constant analyzing /
+    codegenning the duplicated tree for ANY input size. Project this
+    struct in its own select, then reference its fields: CollapseProject
+    deliberately keeps the boundary (the alias is non-trivial and
+    multiply referenced), so downstream field reads are attribute-cheap.
+
     All map-only expressions: a 10^10-row frontier scores without a
     shuffle, and the filter composes with the scope/robots gates.
     """
     p = _parse_url(url)
-    rest = F.substring_index(p["rest"], "#", 1)
-    qpos = F.locate("?", rest)
-    path = F.when(qpos > 0, F.substr(rest, F.lit(1), qpos - 1)).otherwise(rest)
-    query = F.when(qpos > 0, F.substr(rest, qpos + 1)).otherwise(F.lit(""))
-    segs = F.filter(F.split(path, "/"), lambda s: s != "")
-    depth = F.size(segs)
-    max_repeat = F.when(depth == 0, F.lit(0)).otherwise(
-        F.array_max(
-            F.transform(segs, lambda s: F.size(F.filter(segs, lambda x: x == s)))
-        )
-    )
-    n_params = F.when(query == "", F.lit(0)).otherwise(
-        F.size(F.split(query, "&"))
-    )
+    rest0 = F.substring_index(p["rest"], "#", 1)
     low = F.lower(url)
     has_session = F.lit(False)
     for m in SESSION_MARKERS:
         has_session = has_session | F.contains(low, F.lit(m))
-    return {
-        "depth": depth,
-        "max_repeat": max_repeat,
-        "n_params": n_params,
-        "url_len": F.length(url),
-        "has_session": has_session,
-    }
+
+    def _signals(r: Column) -> Column:
+        # r is the lambda-bound rest: every reference below is a cheap
+        # variable read, not a copy of the parse tree
+        qpos = F.locate("?", r)
+        path = F.when(qpos > 0, F.substr(r, F.lit(1), qpos - 1)).otherwise(r)
+        query = F.when(qpos > 0, F.substr(r, qpos + 1)).otherwise(F.lit(""))
+        segs = F.filter(F.split(path, "/"), lambda s: s != "")
+        depth = F.size(segs)
+        max_repeat = F.when(depth == 0, F.lit(0)).otherwise(
+            F.array_max(
+                F.transform(segs, lambda s: F.size(F.filter(segs, lambda x: x == s)))
+            )
+        )
+        n_params = F.when(query == "", F.lit(0)).otherwise(
+            F.size(F.split(query, "&"))
+        )
+        return F.struct(
+            depth.alias("depth"),
+            max_repeat.alias("max_repeat"),
+            n_params.alias("n_params"),
+            F.length(url).alias("url_len"),
+            has_session.alias("has_session"),
+        )
+
+    return F.get(F.transform(F.array(rest0), _signals), 0)
+
+
+_TRAP_SIGNAL_FIELDS = ("depth", "max_repeat", "n_params", "url_len", "has_session")
+
+
+def url_trap_signals(url: Column) -> dict:
+    """Dict-of-columns view over url_trap_signal_struct, kept for ad-hoc
+    use of one or two signals. Each dict access re-references the struct
+    expression, so when you need SEVERAL signals as output columns,
+    project url_trap_signal_struct once and read its fields instead."""
+    s = url_trap_signal_struct(url)
+    return {f: s[f] for f in _TRAP_SIGNAL_FIELDS}
+
+
+def trap_verdict(
+    sig: Column,
+    max_depth: int = 12,
+    max_repeat: int = 3,
+    max_params: int = 10,
+    max_len: int = 512,
+) -> Column:
+    """Trap decision over an ALREADY-projected url_trap_signal_struct
+    column — lets a pipeline that outputs the signals derive the verdict
+    from the same struct without re-parsing the URL."""
+    return (
+        (sig["depth"] > max_depth)
+        | (sig["max_repeat"] >= max_repeat)
+        | (sig["n_params"] > max_params)
+        | (sig["url_len"] > max_len)
+        | sig["has_session"]
+    )
 
 
 def is_crawl_trap(
@@ -513,14 +560,23 @@ def is_crawl_trap(
     """True when any URL-shape signal crosses its trap threshold.
     Apply as a frontier admission filter (filter(~is_crawl_trap(url)))
     BEFORE the seen-set anti-join, so trap families never enter the
-    pending set or the bloom at 10^10 scale."""
-    s = url_trap_signals(url)
-    return (
-        (s["depth"] > max_depth)
-        | (s["max_repeat"] >= max_repeat)
-        | (s["n_params"] > max_params)
-        | (s["url_len"] > max_len)
-        | s["has_session"]
+    pending set or the bloom at 10^10 scale.
+
+    The signal struct is lambda-bound once, so the whole predicate
+    carries a single copy of the URL parse tree."""
+    s = url_trap_signal_struct(url)
+    return F.get(
+        F.transform(
+            F.array(s),
+            lambda t: trap_verdict(
+                t,
+                max_depth=max_depth,
+                max_repeat=max_repeat,
+                max_params=max_params,
+                max_len=max_len,
+            ),
+        ),
+        0,
     )
 
 
