@@ -185,6 +185,46 @@ def _band_buckets(
     ).select("id", "bb.band", "bb.bucket")
 
 
+_CAP_OVERSAMPLE = 2
+_CAP_RANK_MOD = 1 << 20
+
+
+def _gate_oversized_buckets(b: DataFrame, max_bucket: int) -> DataFrame:
+    """Pre-aggregation bound for LSH bucket caps: census the (band,
+    bucket) sizes (a partial-aggregable count — map-side combined), then
+    drop members of oversized buckets by deterministic hash rank BEFORE
+    any collect_list/collect_set, keeping ~_CAP_OVERSAMPLE × max_bucket
+    survivors in expectation (Chernoff makes < max_bucket survivors
+    vanishingly unlikely at max_bucket ≥ 100; the exact final cap is
+    still the slice after aggregation).
+
+    Without this gate the cap sliced AFTER materializing the full member
+    array: one 10^7-member near-dup family (post-exact-dedup boilerplate)
+    would build an ~80 MB aggregate row per band before the cap applied.
+    With it no aggregate row exceeds ~2-3× max_bucket members no matter
+    how degenerate the bucket. Buckets at or under max_bucket pass
+    through UNTOUCHED — results change only where the cap was already
+    truncating, and stay deterministic (hash rank is a pure function of
+    (id, band, bucket), independent of partitioning).
+
+    Cost: one extra small shuffle of (band, bucket, count) partials and a
+    broadcast of the oversized-bucket census (|census| = degenerate
+    buckets only — near-empty in a healthy corpus)."""
+    census = (
+        b.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+    )
+    thresh = F.floor(
+        F.lit(float(max_bucket * _CAP_OVERSAMPLE * _CAP_RANK_MOD)) / F.col("_n")
+    ).cast("long")
+    gated = b.join(F.broadcast(census), ["band", "bucket"], "left")
+    keep = F.col("_n").isNull() | (
+        F.pmod(F.xxhash64("id", "band", "bucket"), F.lit(_CAP_RANK_MOD)) < thresh
+    )
+    return gated.filter(keep).drop("_n")
+
+
 def _pairs_from_members(members: DataFrame) -> DataFrame:
     """(band, bucket, ids sorted array) → distinct (id_a, id_b), id_a <
     id_b — pairs generated JVM-side inside the row (nested transform over
@@ -225,9 +265,11 @@ def minhash_lsh_candidates(
     # the row (nested transform over the sorted, capped member array) —
     # replaces the previous window-cap + self-join + distinct chain:
     # 2 shuffles instead of 3, no per-bucket sort pass, and the self-join
-    # no longer recomputes the band explosion for both sides. The cap is
-    # the same first-max_bucket-ids-by-sort rule as before.
-    members = b.groupBy("band", "bucket").agg(
+    # no longer recomputes the band explosion for both sides. Oversized
+    # buckets are hash-rank pre-gated BEFORE the collect_list
+    # (_gate_oversized_buckets) so the aggregate row itself is bounded;
+    # the slice is the exact final cap.
+    members = _gate_oversized_buckets(b, max_bucket).groupBy("band", "bucket").agg(
         F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids")
     )
     return _pairs_from_members(members)
@@ -250,11 +292,11 @@ def build_lsh_index(
     incremental path — its dedup is a full drop_duplicates per load
     (load_input.py:294).
 
-    max_bucket caps degenerate buckets at build time (first max_bucket
-    ids in sort order, the same rule as the batch path); the cap is
-    per-delta — see merge_lsh_index."""
+    max_bucket caps degenerate buckets at build time (hash-rank
+    pre-gated before the aggregation, then sliced — the same rule as the
+    batch path); the cap is per-delta — see merge_lsh_index."""
     b = _band_buckets(signatures, bands, rows_per_band)
-    return b.groupBy("band", "bucket").agg(
+    return _gate_oversized_buckets(b, max_bucket).groupBy("band", "bucket").agg(
         F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids")
     )
 
@@ -265,9 +307,13 @@ def merge_lsh_index(deltas: DataFrame, max_bucket: int = 1000) -> DataFrame:
     ids, re-capped. Same contract as seen.merge_bloom /
     merge_exact_index: appending a batch = union old index with the
     batch's delta and merge — cost ∝ |touched buckets|, never a corpus
-    rescan."""
+    rescan. A bucket touched by MANY deltas could otherwise accumulate
+    cap × n_deltas members into one aggregate row, so the same hash-rank
+    pre-gate bounds the merge aggregation (duplicate ids across deltas
+    hash identically — the gate is set-stable)."""
+    exploded = deltas.select("band", "bucket", F.explode("ids").alias("id"))
     return (
-        deltas.select("band", "bucket", F.explode("ids").alias("id"))
+        _gate_oversized_buckets(exploded, max_bucket)
         .groupBy("band", "bucket")
         .agg(F.slice(F.sort_array(F.collect_set("id")), 1, max_bucket).alias("ids"))
     )

@@ -760,3 +760,60 @@ def test_script_profile_plans_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_lsh_bucket_cap_bounds_the_aggregation(spark):
+    """A degenerate near-dup family (every doc identical → every doc in
+    the SAME (band,bucket) for every band) must be pre-gated BEFORE the
+    member-array aggregation: no (band,bucket) group may feed more than
+    ~oversample × max_bucket rows into collect_list, and the final index
+    rows stay ≤ max_bucket. Pins the round-4 pre-aggregation cap."""
+    from pyspark.sql import functions as F
+    from post_processor_spark.analytics import dedup
+
+    n, cap = 5000, 100
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated on every single page "
+              "of this mirror site again and again").alias("text"),
+    )
+    sig = dedup.minhash_signatures(docs, num_hashes=8, shingle_n=2)
+    b = dedup._band_buckets(sig, bands=4, rows_per_band=2)
+    gated_sizes = (
+        dedup._gate_oversized_buckets(b, cap)
+        .groupBy("band", "bucket").agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx")).collect()[0]["mx"]
+    )
+    # expectation is oversample×cap = 200 survivors; 4× is far beyond any
+    # realistic deviation but still 12× under the ungated 5000
+    assert cap <= gated_sizes <= 4 * cap
+    idx = dedup.build_lsh_index(sig, bands=4, rows_per_band=2, max_bucket=cap)
+    rows = idx.select(F.size("ids").alias("s")).collect()
+    assert rows and all(r["s"] <= cap for r in rows)
+    # pair generation still works over the capped members
+    pairs = dedup.minhash_lsh_candidates(sig, bands=4, rows_per_band=2,
+                                         max_bucket=cap)
+    assert pairs.count() > 0
+
+
+def test_lsh_bucket_gate_is_identity_under_cap(spark):
+    """Buckets at or under max_bucket pass the gate untouched — the
+    hash-rank pre-gate only changes membership where the cap was already
+    truncating."""
+    from pyspark.sql import functions as F
+    from post_processor_spark.analytics import dedup
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("distinct document number "),
+                 F.col("id").cast("string"),
+                 F.lit(" with its own words")).alias("text"),
+    )
+    sig = dedup.minhash_signatures(docs, num_hashes=8, shingle_n=2)
+    b = dedup._band_buckets(sig, bands=4, rows_per_band=2)
+    before = sorted((r["band"], r["bucket"], r["id"]) for r in b.collect())
+    after = sorted(
+        (r["band"], r["bucket"], r["id"])
+        for r in dedup._gate_oversized_buckets(b, 1000).collect()
+    )
+    assert before == after
