@@ -1,13 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata. The Spark-side plumbing (schema, partitioning, Arrow
-batch shape, UDF signatures) is real and tested; the actual codec calls
-are STUBBED — the decode libraries are not in this container. Each stub
-is clearly marked and either raises NotImplementedError (strict mode) or
-produces a deterministic fake (test mode).
+batch shape, UDF signatures) is real and tested.
+
+Strict-mode decode is REAL for three public container formats that need
+no external codec library — BMP (uncompressed BI_RGB 8/24/32-bit), PNM
+(P2/P3 ascii, P5/P6 binary, 8/16-bit) and WAV PCM (stdlib `wave`) — all
+parsed with struct/numpy from their published specs. Compressed formats
+(JPEG/PNG/MP4/...) still raise NotImplementedError with a clear message:
+that boundary is where a real deployment plugs PIL/ffmpeg in. Test mode
+keeps the deterministic fake (payload bytes = decoded samples) so
+oracle-gated queries stay engine-independent.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -73,14 +80,142 @@ def synthetic_media(
     )
 
 
-def _decode_stub(payload: bytes, kind: str, strict: bool) -> np.ndarray:
-    """STUB: real impl would call PIL/libav/ffmpeg. Deterministic fake:
-    interpret payload bytes as the 'decoded' sample array."""
-    if strict:
+_GRAY = np.array([0.299, 0.587, 0.114])  # ITU-R BT.601 luma weights
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed Windows BMP (BITMAPINFOHEADER, BI_RGB, 8/24/32 bpp)
+    → 2-D float64 grayscale, top-down row order. Pure struct/numpy from
+    the published layout: 14-byte file header (pixel offset at byte 10),
+    40+-byte info header (dims at 18, bpp at 28, compression at 30),
+    rows padded to 4 bytes, stored bottom-up when height > 0, BGR(A)
+    channel order."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    if comp != 0 or bpp not in (8, 24, 32):
         raise NotImplementedError(
-            "media decode requires codec libraries not present in this "
-            "container — plug a real decoder in here"
+            f"BMP variant not supported (compression={comp}, bpp={bpp}); "
+            "only uncompressed BI_RGB 8/24/32-bit"
         )
+    bottom_up, h = h > 0, abs(h)
+    row_bytes = ((bpp * w + 31) // 32) * 4
+    raster = np.frombuffer(
+        data, dtype=np.uint8, count=row_bytes * h, offset=pix_off
+    ).reshape(h, row_bytes)
+    if bpp == 8:
+        gray = raster[:, :w].astype(np.float64)
+    else:
+        ch = bpp // 8
+        px = raster[:, : w * ch].reshape(h, w, ch).astype(np.float64)
+        gray = px[..., 2] * _GRAY[0] + px[..., 1] * _GRAY[1] + px[..., 0] * _GRAY[2]
+    return gray[::-1] if bottom_up else gray
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """2-D uint8 grayscale → 24-bit uncompressed BMP bytes (each channel
+    = the gray value). The inverse fixture for decode_bmp: public format,
+    no codec library, round-trips exactly for grayscale content."""
+    a = np.asarray(gray, dtype=np.uint8)
+    h, w = a.shape
+    row_bytes = ((24 * w + 31) // 32) * 4
+    raster = np.zeros((h, row_bytes), dtype=np.uint8)
+    rgb = np.repeat(a[:, :, None], 3, axis=2)       # B=G=R=gray
+    raster[:, : w * 3] = rgb.reshape(h, w * 3)
+    pixels = raster[::-1].tobytes()                  # bottom-up
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """PNM (P2/P3 ascii, P5/P6 binary; PGM grayscale or PPM RGB) → 2-D
+    float64 grayscale. Header tokens are whitespace-separated with
+    '#'-comment lines; 16-bit binary samples are big-endian per spec."""
+    magic = data[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError("not a PNM payload")
+    # tokenize header: magic, width, height, maxval (comments stripped)
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    n = w * h * channels
+    if magic in (b"P2", b"P3"):
+        flat = np.array(data[pos:].split()[:n], dtype=np.float64)
+    elif maxval < 256:
+        flat = np.frombuffer(data, np.uint8, count=n, offset=pos).astype(np.float64)
+    else:
+        flat = np.frombuffer(data, ">u2", count=n, offset=pos).astype(np.float64)
+    if channels == 3:
+        return (flat.reshape(h, w, 3) @ _GRAY).reshape(h, w)
+    return flat.reshape(h, w)
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM → 1-D float64 samples (channels averaged), via the
+    stdlib wave module. 8-bit PCM is unsigned per spec (recentred to
+    ±128); 16/32-bit are signed little-endian."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        n, ch, width = wf.getnframes(), wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(n)
+    if width == 1:
+        samples = np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0
+    elif width == 2:
+        samples = np.frombuffer(raw, "<i2").astype(np.float64)
+    elif width == 4:
+        samples = np.frombuffer(raw, "<i4").astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV sample width {width} not supported")
+    if ch > 1:
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    return samples
+
+
+def decode_media(payload: bytes, kind: str) -> np.ndarray:
+    """Strict-mode decode: sniff the container by magic bytes and run the
+    real parser. 1-D float64 sample stream (images flattened row-major) —
+    the contract extract_features/perceptual_hash bucket over. Formats
+    needing external codecs stay an explicit NotImplementedError."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty media payload")
+    if payload[:2] == b"BM":
+        return decode_bmp(payload).ravel()
+    if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        return decode_pnm(payload).ravel()
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "media payload is not BMP/PNM/WAV — compressed formats (JPEG, PNG, "
+        "MP4, ...) need codec libraries not present in this container; "
+        "plug PIL/ffmpeg into decode_media here"
+    )
+
+
+def _decode_stub(payload: bytes, kind: str, strict: bool) -> np.ndarray:
+    """Codec boundary. strict=True runs the REAL container parsers
+    (decode_media: BMP/PNM/WAV). strict=False keeps the deterministic
+    fake — payload bytes interpreted as the decoded sample array — which
+    the engine-independent oracle queries rely on."""
+    if strict:
+        return decode_media(payload, kind).astype(np.float32)
     return np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float32)
 
 
