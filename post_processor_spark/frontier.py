@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import canon
@@ -796,27 +796,35 @@ def run_generation(
     # Driver-side actions are per-generation FIXED overhead that caps the
     # headline rate and scaling efficiency, so counts are folded: with
     # robots, rows_in/n_blocked came from the single pre-scheduling
-    # aggregate above; n_scheduled is the sum of per-partition lineage
-    # counts.
+    # aggregate above.
     if rows_in is None:
         rows_in = updated.count()
-    # per-partition lineage (A6/north_rule): partition-level scheduled counts
-    part_counts = (
-        scheduled.groupBy(F.spark_partition_id().alias("partition_id"))
-        .count()
-        .collect()
-    )
-    n_scheduled = sum(r["count"] for r in part_counts)
     wall_ms = int((time.time() - t0) * 1000)
-    metrics_rows = [
-        (generation, -1, rows_in, n_new, n_scheduled, n_discovered - n_new, wall_ms)
-    ]
-    for r in part_counts:
-        metrics_rows.append((generation, r["partition_id"], rows_in, n_new, r["count"], 0, wall_ms))
-    metrics = spark.createDataFrame(
-        metrics_rows,
-        "generation int, partition_id int, rows_in long, rows_out long,"
-        " scheduled long, filtered_seen long, wall_ms long",
+    # per-partition lineage (A6/north_rule): partition-level scheduled
+    # counts as ONE lazy rollup — per-partition rows plus the grand-total
+    # row (rollup's null group → partition_id -1) — that rides the
+    # metrics write inside the atomic commit instead of a per-generation
+    # driver collect. n_scheduled reaches the driver through an
+    # Observation piggybacked on the same job: zero extra actions per
+    # generation. (The observed subtree appears exactly once in exactly
+    # one executed plan — a CollectMetrics node must never be duplicated
+    # or re-executed, or the observed count would double.)
+    sched_obs = Observation(f"sched_gen_{generation}")
+    part_metrics = (
+        scheduled.observe(sched_obs, F.count(F.lit(1)).alias("n_scheduled"))
+        .select(F.spark_partition_id().alias("pid"))
+        .rollup("pid")
+        .agg(F.count("*").alias("n_sched"))
+    )
+    metrics = part_metrics.select(
+        F.lit(generation).cast("int").alias("generation"),
+        F.coalesce(F.col("pid"), F.lit(-1)).cast("int").alias("partition_id"),
+        F.lit(rows_in).cast("long").alias("rows_in"),
+        F.lit(n_new).cast("long").alias("rows_out"),
+        F.col("n_sched").cast("long").alias("scheduled"),
+        F.when(F.col("pid").isNull(), F.lit(n_discovered - n_new))
+        .otherwise(F.lit(0)).cast("long").alias("filtered_seen"),
+        F.lit(wall_ms).cast("long").alias("wall_ms"),
     )
     # ONE atomic commit for all three tables: a crash mid-generation must
     # never leave the frontier at g with the seen set at g-1. All three
@@ -897,6 +905,9 @@ def run_generation(
         )
         writes.append(("head", head_new, generation, "snapshot"))
     store.write_many(writes)
+    # the metrics write above executed the observed plan; get() returns
+    # the filled value without launching anything
+    n_scheduled = int(sched_obs.get["n_scheduled"])
     extras = tuple(h for h in (gated, refill) if h is not None)
     for h in (updated, pending, discovered, new_base) + extras:
         h.unpersist()
