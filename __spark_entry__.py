@@ -994,21 +994,19 @@ def _q_pii_redact(spark, sf):
     ).orderBy("doc_id")
 
 
-def _q_c4_clean(spark, sf):
-    """C4-style cleaning (analytics.clean) under the full value-hash
-    gate: synthesize a multi-line page per document from its own tokens
-    (kept lines, a short line, an unterminated line, a javascript line,
-    plus lorem-ipsum / curly-brace / blocklist poison on modular
-    doc_id subsets), then run the line filters, doc gates, and the
-    badwords filter. Map-only end to end."""
-    d = _t(spark, sf, "documents")
+def _c4_synth_text():
+    """The synthetic multi-line page column shared by _q_c4_clean and
+    _q_training_pipeline: per document, kept lines built from its own
+    tokens, a short line, an unterminated line, a javascript line, plus
+    lorem-ipsum / curly-brace / blocklist poison on modular doc_id
+    subsets. Pure column expression over (doc_id, text)."""
     i = F.col("doc_id")
     w = F.split(F.trim(F.col("text")), r"\s+")
 
     def line(start, length, punct):
         return F.concat(F.array_join(F.slice(w, start, length), " "), F.lit(punct))
 
-    synth_text = F.concat(
+    return F.concat(
         F.concat_ws(
             "\n",
             line(1, 8, "."),                 # kept: 8 words + terminal punct
@@ -1022,9 +1020,56 @@ def _q_c4_clean(spark, sf):
         _sfx(i % 17 == 0, F.lit("\nfunction f() { return 1; }")),
         _sfx(i % 11 == 0, F.lit("\nfrobnicate the widget assembly now.")),
     )
-    synth = d.select("doc_id", synth_text.alias("text"))
+
+
+def _q_c4_clean(spark, sf):
+    """C4-style cleaning (analytics.clean) under the full value-hash
+    gate: synthesize a multi-line page per document from its own tokens
+    (_c4_synth_text), then run the line filters, doc gates, and the
+    badwords filter. Map-only end to end."""
+    d = _t(spark, sf, "documents")
+    synth = d.select("doc_id", _c4_synth_text().alias("text"))
     out = clean.badwords_filter(clean.c4_clean(synth), ["frobnicate"])
     return out.select("doc_id", "n_kept_lines", "text").orderBy("doc_id")
+
+
+def _q_training_pipeline(spark, sf):
+    """END-TO-END training-corpus recipe as ONE composed lazy plan
+    (analytics/pipeline.build_training_corpus): C4 clean → exact dedup →
+    3-gram benchmark decontamination (docs with doc_id % 10 == 0 act as
+    the held-out eval set) → temperature sampling (alpha 0.5, half
+    budget, per source) → 256-token sequence packing, over the same
+    synthetic pages as q_c4_clean. decontam_hash='md5' so the DuckDB
+    oracle replays the exact gram sets; every stage is also individually
+    oracle-gated by its own query. The composed plan is what a real
+    corpus build runs — benching it tracks cross-stage regressions
+    (extra exchanges, broken pushdown) that per-stage numbers miss."""
+    from post_processor_spark.analytics import pipeline as pipe
+
+    d = _t(spark, sf, "documents")
+    synth = d.select("doc_id", "lang", "source", _c4_synth_text().alias("text"))
+    bench_docs = synth.filter(F.col("doc_id") % 10 == 0)
+    corpus = synth.filter(F.col("doc_id") % 10 != 0)
+    packed, _stages = pipe.build_training_corpus(
+        corpus,
+        bench_docs,
+        text_col="text",
+        id_col="doc_id",
+        strata_col="source",
+        min_words=5,
+        min_lines=3,
+        decontam_n=3,
+        decontam_hash="md5",
+        temperature_alpha=0.5,
+        sample_budget_fraction=0.5,
+        pack_budget=256,
+        salt="tp1",
+        materialize="persist",
+    )
+    return packed.select(
+        "shard", "doc_id", "n_tokens", "start_off", "end_off",
+        "first_chunk", "last_chunk", "n_chunks",
+    ).orderBy("shard", "doc_id")
 
 
 def _q_seq_pack(spark, sf):
@@ -1943,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier": _q_quality_classifier,
         "q_lang_id": _q_lang_id,
         "q_seq_pack": _q_seq_pack,
+        "q_training_pipeline": _q_training_pipeline,
         "q_token_budget": _q_token_budget,
         "q_stratified_sample": _q_stratified_sample,
         "q_temperature_sample": _q_temperature_sample,
@@ -1952,8 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_rollup": _q_hll_rollup,
         "q_kll_quantiles": _q_kll_quantiles,
         "q_theta_overlap": _q_theta_overlap,
-        "q_pagerank": _q_pagerank,
         # --- below the fold: redundant-evidence variants + the long tail ---
+        "q_pagerank": _q_pagerank,
         "q_filter_revenue": _q_filter_revenue,
         "q_top_orders": _q_top_orders,
         "q_anti_join": _q_anti_join,
@@ -2889,6 +2935,128 @@ def oracle_sql() -> dict[str, str]:
                    first_chunk, last_chunk,
                    last_chunk - first_chunk + 1 AS n_chunks
             FROM f ORDER BY shard, doc_id
+        """,
+        # the composed recipe: every stage below replays the SAME rule its
+        # standalone oracle pins (c4 lines/doc gates, md5-normalized exact
+        # dedup, md5 3-gram decontam, md5-threshold temperature sampling,
+        # single-window packing) chained over the q_c4_clean synth pages
+        "q_training_pipeline": """
+            WITH w AS (
+              SELECT doc_id, lang, source,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            synth AS (
+              SELECT doc_id, lang, source,
+                array_to_string(t[1:8], ' ') || '.' || chr(10)
+                || array_to_string(t[2:5], ' ') || '!' || chr(10)
+                || array_to_string(t[1:6], ' ') || chr(10)
+                || 'please enable javascript to view this page.' || chr(10)
+                || array_to_string(t[4:10], ' ') || '?' || chr(10)
+                || array_to_string(t[1:7], ' ') || '.'
+                || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'this page uses lorem ipsum filler.' ELSE '' END
+                || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'frobnicate the widget assembly now.' ELSE '' END
+                AS text
+              FROM w
+            ),
+            kept AS (
+              SELECT doc_id, lang, source,
+                list_filter(
+                  list_transform(string_split(text, chr(10)), x -> trim(x)),
+                  x -> regexp_matches(x, '[.!?"]$')
+                       AND len(string_split_regex(trim(x), '\\s+')) >= 5
+                       AND NOT contains(lower(x), 'javascript')
+                ) AS k
+              FROM synth
+              WHERE doc_id % 10 != 0
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(lower(text), '{')
+            ),
+            cleaned AS (
+              SELECT doc_id, lang, source,
+                     array_to_string(k, chr(10)) AS text
+              FROM kept WHERE len(k) >= 3
+            ),
+            dedup AS (
+              SELECT doc_id, lang, source, text FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                  ORDER BY doc_id) AS rn
+                FROM cleaned
+              ) WHERE rn = 1
+            ),
+            ctoks AS (
+              SELECT doc_id,
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                     ) AS t
+              FROM dedup
+            ),
+            cgrams AS (
+              SELECT DISTINCT doc_id,
+                     CAST(('0x' || substr(
+                       md5(array_to_string(t[g.i + 1 : g.i + 3], ' ')), 1, 8
+                     )) AS BIGINT) AS h
+              FROM ctoks, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS g(i)
+            ),
+            btoks AS (
+              SELECT doc_id,
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                     ) AS t
+              FROM synth WHERE doc_id % 10 = 0
+            ),
+            bgrams AS (
+              SELECT DISTINCT
+                     CAST(('0x' || substr(
+                       md5(array_to_string(t[g.i + 1 : g.i + 3], ' ')), 1, 8
+                     )) AS BIGINT) AS h
+              FROM btoks, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS g(i)
+            ),
+            hits AS (
+              SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (h)
+            ),
+            decon AS (
+              SELECT d.* FROM dedup d LEFT JOIN hits h USING (doc_id)
+              WHERE h.doc_id IS NULL
+            ),
+            sc AS (SELECT source, count(*) AS n FROM decon GROUP BY source),
+            st AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS wsum FROM sc),
+            sr AS (SELECT sc.source,
+                          least(1.0, 0.5 * st.total * pow(sc.n, 0.5)
+                                / (st.wsum * sc.n)) AS fraction
+                   FROM sc, st),
+            sampled AS (
+              SELECT d.doc_id, d.source, d.text
+              FROM decon d JOIN sr ON d.source = sr.source
+              WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'tp1'), 1, 8)) AS BIGINT)
+                    / 4294967296.0 < sr.fraction
+            ),
+            pt AS (
+              SELECT source AS shard, doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              FROM sampled
+            ),
+            pc AS (
+              SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+              FROM pt
+            ),
+            pf AS (
+              SELECT shard, doc_id, n_tokens,
+                     end_off - n_tokens AS start_off, end_off,
+                     (end_off - n_tokens) // 256 AS first_chunk,
+                     CASE WHEN n_tokens = 0 THEN (end_off - n_tokens) // 256
+                          ELSE (end_off - 1) // 256 END AS last_chunk
+              FROM pc
+            )
+            SELECT shard, doc_id, n_tokens, start_off, end_off,
+                   first_chunk, last_chunk,
+                   last_chunk - first_chunk + 1 AS n_chunks
+            FROM pf ORDER BY shard, doc_id
         """,
         "q_recrawl": """
             WITH h AS (

@@ -50,6 +50,7 @@ HEADLINE_QUERIES = [
     "q_pii_redact",
     "q_c4_clean",
     "q_seq_pack",
+    "q_training_pipeline",
     "q_token_budget",
     "q_asof_join",
     "q_recrawl",

@@ -75,3 +75,32 @@ def test_build_training_corpus_half_specified_sampling_raises(spark):
         pipeline.build_training_corpus(docs, None, temperature_alpha=0.5)
     with pytest.raises(ValueError, match="must be set together"):
         pipeline.build_training_corpus(docs, None, sample_budget_fraction=0.5)
+
+
+def test_build_training_corpus_materialize_matches_lazy(spark):
+    """materialize='persist'/'checkpoint' must change the plan shape
+    (each stage computes once), never the result rows."""
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(0, "secret benchmark sentence with thirteen tokens "
+             "a b c d e f g h i j k l m.")],
+        "doc_id long, text string",
+    )
+    def run(mat):
+        packed, stages = pipeline.build_training_corpus(
+            docs, bench, decontam_n=13, pack_budget=16, materialize=mat
+        )
+        rows = sorted(tuple(r) for r in packed.collect())
+        for df in stages.values():
+            df.unpersist()
+        return rows
+    lazy = run(None)
+    assert run("persist") == lazy
+    assert run("checkpoint") == lazy
+
+
+def test_build_training_corpus_bad_materialize_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="materialize"):
+        pipeline.build_training_corpus(_corpus(spark), None, materialize="disk")
