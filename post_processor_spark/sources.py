@@ -450,7 +450,11 @@ NYT_ARCHIVE_RESPONSE_SCHEMA = T.StructType(
 )
 
 
-def parse_nyt_archive(responses: DataFrame, raw_col: str = "raw") -> DataFrame:
+def parse_nyt_archive(
+    responses: DataFrame,
+    raw_col: str = "raw",
+    reference_is_valid_parity: bool = False,
+) -> DataFrame:
     """Parse raw NYT archive JSON responses into the reference's frame
     (NYT_archive_explorer.py:38-81 parse_response): one row per doc with a
     headline (is_valid, :33-36), keywords filtered to name='subject'
@@ -459,15 +463,25 @@ def parse_nyt_archive(responses: DataFrame, raw_col: str = "raw") -> DataFrame:
 
     Parity notes (ADVICE r2): a doc with a null/missing keywords array
     yields an EMPTY list, matching the reference's list-comprehension
-    over keywords. Documented difference: an article whose headline is
+    over keywords. Default deviation: an article whose headline is
     {'main': null} is dropped here, where the reference's is_valid only
-    checks key presence and would keep it with a None headline — the
-    null-main filter is the useful behavior for a headline frame."""
+    checks KEY PRESENCE and would keep it with a None headline — the
+    null-main filter is the useful behavior for a headline frame. Pass
+    reference_is_valid_parity=True for exact reference row parity: keep
+    every doc whose headline object is present (main may be null). The
+    struct world cannot distinguish a missing 'main' key from an
+    explicit null — both parse to NULL — so presence of the headline
+    object is the closest observable to the reference's dict check."""
     doc = F.explode(
         F.from_json(F.col(raw_col), NYT_ARCHIVE_RESPONSE_SCHEMA)["response"]["docs"]
     ).alias("doc")
     d = responses.select(doc).select("doc.*")
-    return d.filter(F.col("headline")["main"].isNotNull()).select(
+    is_valid = (
+        F.col("headline").isNotNull()
+        if reference_is_valid_parity
+        else F.col("headline")["main"].isNotNull()
+    )
+    return d.filter(is_valid).select(
         F.col("headline")["main"].alias("headline"),
         F.to_date(F.col("pub_date").substr(1, 10)).alias("date"),
         F.col("document_type").alias("doc_type"),

@@ -421,6 +421,31 @@ def test_nyt_archive_scan(spark):
     assert r["byline"] == "By A. B." and r["material_type"] == "News"
 
 
+def test_nyt_archive_reference_is_valid_parity(spark):
+    """reference_is_valid_parity=True keeps a {'main': null} doc with a
+    NULL headline (the reference's key-presence is_valid), while the
+    default drops it; docs with NO headline object drop either way."""
+    raw = json.dumps({"response": {"docs": [
+        {"headline": {"main": "Kept"}, "pub_date": "2019-01-02T10:00:00+0000",
+         "document_type": "article", "web_url": "https://nyt.com/a",
+         "byline": {}, "keywords": []},
+        {"headline": {"main": None}, "pub_date": "2019-01-03T10:00:00+0000",
+         "document_type": "article", "web_url": "https://nyt.com/null-main",
+         "byline": {}, "keywords": []},
+        {"pub_date": "2019-01-04T10:00:00+0000",
+         "document_type": "article", "web_url": "https://nyt.com/no-headline",
+         "byline": {}, "keywords": []},
+    ]}})
+    df = spark.createDataFrame([(raw,)], "raw string")
+    strict = {r["url"] for r in sources.parse_nyt_archive(df).collect()}
+    parity = {r["url"]: r["headline"]
+              for r in sources.parse_nyt_archive(
+                  df, reference_is_valid_parity=True).collect()}
+    assert strict == {"https://nyt.com/a"}
+    assert set(parity) == {"https://nyt.com/a", "https://nyt.com/null-main"}
+    assert parity["https://nyt.com/null-main"] is None
+
+
 def test_sitemap_parse_and_seeds(spark):
     """parse_sitemaps handles urlset + sitemapindex (with namespace),
     missing optional elements → NULL, malformed XML → zero rows;
