@@ -796,30 +796,47 @@ def run_generation(
     # Driver-side actions are per-generation FIXED overhead that caps the
     # headline rate and scaling efficiency, so counts are folded: with
     # robots, rows_in/n_blocked came from the single pre-scheduling
-    # aggregate above.
-    if rows_in is None:
-        rows_in = updated.count()
+    # aggregate above (that one must run BEFORE scheduling — it gates the
+    # head refill decision); without robots, rows_in rides the metrics
+    # job below like everything else.
     wall_ms = int((time.time() - t0) * 1000)
     # per-partition lineage (A6/north_rule): partition-level scheduled
     # counts as ONE lazy rollup — per-partition rows plus the grand-total
     # row (rollup's null group → partition_id -1) — that rides the
     # metrics write inside the atomic commit instead of a per-generation
-    # driver collect. n_scheduled reaches the driver through an
-    # Observation piggybacked on the same job: zero extra actions per
-    # generation. (The observed subtree appears exactly once in exactly
-    # one executed plan — a CollectMetrics node must never be duplicated
-    # or re-executed, or the observed count would double.)
+    # driver collect. n_scheduled (and, without robots, rows_in) reach
+    # the driver through Observations piggybacked on the same job: zero
+    # extra actions per generation. (Each observed subtree appears
+    # exactly once in exactly one executed plan — a CollectMetrics node
+    # must never be duplicated or re-executed, or the observed count
+    # would double.)
+    rows_in_obs = None
+    m_src = updated
+    if rows_in is None:
+        rows_in_obs = Observation(f"rows_in_{generation}")
+        m_src = updated.observe(rows_in_obs, F.count(F.lit(1)).alias("n"))
     sched_obs = Observation(f"sched_gen_{generation}")
     part_metrics = (
-        scheduled.observe(sched_obs, F.count(F.lit(1)).alias("n_scheduled"))
+        m_src.filter(F.col("status") == "scheduled")
+        .observe(sched_obs, F.count(F.lit(1)).alias("n_scheduled"))
         .select(F.spark_partition_id().alias("pid"))
         .rollup("pid")
         .agg(F.count("*").alias("n_sched"))
     )
+    if rows_in is not None:
+        rows_in_col = F.lit(rows_in).cast("long")
+    else:
+        # relational rows_in: a one-row total over the (persisted)
+        # scheduler output, broadcast onto every metrics row — no
+        # observe node here (this second scan of `updated` must not
+        # re-fire rows_in_obs)
+        totals = updated.agg(F.count(F.lit(1)).cast("long").alias("_rows_in"))
+        part_metrics = part_metrics.crossJoin(F.broadcast(totals))
+        rows_in_col = F.col("_rows_in")
     metrics = part_metrics.select(
         F.lit(generation).cast("int").alias("generation"),
         F.coalesce(F.col("pid"), F.lit(-1)).cast("int").alias("partition_id"),
-        F.lit(rows_in).cast("long").alias("rows_in"),
+        rows_in_col.alias("rows_in"),
         F.lit(n_new).cast("long").alias("rows_out"),
         F.col("n_sched").cast("long").alias("scheduled"),
         F.when(F.col("pid").isNull(), F.lit(n_discovered - n_new))
@@ -906,8 +923,10 @@ def run_generation(
         writes.append(("head", head_new, generation, "snapshot"))
     store.write_many(writes)
     # the metrics write above executed the observed plan; get() returns
-    # the filled value without launching anything
+    # the filled values without launching anything
     n_scheduled = int(sched_obs.get["n_scheduled"])
+    if rows_in is None:
+        rows_in = int(rows_in_obs.get["n"])
     extras = tuple(h for h in (gated, refill) if h is not None)
     for h in (updated, pending, discovered, new_base) + extras:
         h.unpersist()
