@@ -24,11 +24,26 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+_ALNUM_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+)
+
+
 def bpe_ish_token_count(col: Column) -> Column:
-    """BPE-flavored proxy: count word pieces + digits + punctuation runs
-    via a regex split — a deterministic stand-in for a real tokenizer."""
-    pieces = F.split(F.trim(col), r"(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])")
-    return F.size(F.filter(pieces, lambda p: p != ""))
+    """BPE-flavored proxy: word pieces + individual non-alnum chars — a
+    deterministic stand-in for a real tokenizer.
+
+    Equivalent to splitting at every alnum/non-alnum boundary (which
+    yields maximal alnum runs plus each non-alnum char alone) and
+    counting non-empty pieces, but WITHOUT the lookaround-regex split
+    that formulation needs: count = (# maximal alnum runs via ONE simple
+    regexp_count) + (# non-alnum chars via translate — a char-map scan,
+    no NFA). The lookaround split was the dominant cost of the one-pass
+    text profile."""
+    t = F.trim(col)
+    alnum_runs = F.regexp_count(t, F.lit(r"[a-zA-Z0-9]+"))
+    non_alnum_chars = F.length(F.translate(t, _ALNUM_CHARS, ""))
+    return alnum_runs + non_alnum_chars
 
 
 def stopword_count(col: Column, stopwords: list[str] | None = None) -> Column:
@@ -41,9 +56,18 @@ def stopword_ratio(col: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(stopword_count(col) / n)
 
 
+# every ASCII printable that is neither alnum nor space — exactly the
+# [!-/:-@\[-`{-~] class the regex formulation used
+_PUNCT_CHARS = "".join(
+    chr(c) for c in range(0x21, 0x7F) if not chr(c).isalnum()
+)
+
+
 def punct_ratio(col: Column) -> Column:
     n = F.length(col)
-    punct = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
+    # count class members by what translate REMOVES — a char-map scan
+    # instead of a per-char regex NFA over the whole document
+    punct = n - F.length(F.translate(col, _PUNCT_CHARS, ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
 
 
@@ -58,11 +82,19 @@ def quality_score(col: Column) -> Column:
     return F.round((len_score + sw_score + p_score) / 3.0, 4)
 
 
+# ASCII letters + the exact regex-\s set ([ \t\n\x0B\f\r])
+_ASCII_LETTER_WS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ \t\n\x0b\x0c\r"
+)
+
+
 def lang_id(col: Column, threshold: float = 0.08) -> Column:
     """n-gram-free heuristic: English iff stopword ratio clears the bar
-    and the text is mostly ASCII letters."""
+    and the text is mostly ASCII letters. The [a-zA-Z\\s] count is a
+    translate char-map scan (the class is enumerable), not a regex."""
+    n_kept = F.length(col) - F.length(F.translate(col, _ASCII_LETTER_WS, ""))
     ascii_ratio = F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
-        F.length(F.regexp_replace(col, r"[^a-zA-Z\s]", "")).cast("double") / F.length(col)
+        n_kept.cast("double") / F.length(col)
     )
     return F.when(
         (stopword_ratio(col) >= threshold) & (ascii_ratio >= 0.6), F.lit("en")
