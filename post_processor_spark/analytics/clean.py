@@ -37,13 +37,20 @@ def _line_words(line: Column) -> Column:
 
 def kept_lines(col: Column, min_words: int = 5) -> Column:
     """Array of lines surviving the C4 line filters, trimmed, in
-    document order."""
+    document order.
+
+    Predicate cost ordering: the terminal-punct check is a last-char set
+    test (no regex — an empty trimmed line yields '' which is in no
+    set), the blockword check is a plain substring scan, and only lines
+    passing both pay the word-run count (one simple \\S+ regexp_count —
+    equivalent to size(split(trim, '\\s+')) on a trimmed line, without
+    materializing the token array)."""
     lines = F.transform(F.split(col, "\n"), lambda x: F.trim(x))
     return F.filter(
         lines,
-        lambda x: x.rlike(TERMINAL_PUNCT_RE)
-        & (F.size(_line_words(x)) >= min_words)
-        & ~F.contains(F.lower(x), F.lit(LINE_BLOCKWORD)),
+        lambda x: F.right(x, F.lit(1)).isin(".", "!", "?", '"')
+        & ~F.contains(F.lower(x), F.lit(LINE_BLOCKWORD))
+        & (F.regexp_count(x, F.lit(r"\S+")) >= min_words),
     )
 
 
