@@ -573,10 +573,16 @@ def run_generation(
     robots: DataFrame | None = None,
     head_cache: bool = True,
     exact_join: str = "branch",
+    trap_gate: bool = False,
 ) -> dict:
     """One frontier generation: robots gate → schedule → fetch(sim) →
     expand → dedupe → seen-filter → delta commit. Returns driver-side
     metrics dict.
+
+    trap_gate: apply canon.is_crawl_trap as an admission filter on
+    discovered outlinks, BEFORE the in-batch dedupe and the seen
+    anti-join — trap URL families never enter the frontier, bloom, or
+    seen state.
 
     robots (optional): per-host disallow rules (see apply_robots). Blocked
     rows are committed with status='blocked' — in the merge-on-read view a
@@ -772,6 +778,16 @@ def run_generation(
         .withColumn("seq", F.col("parent_seq"))
         .drop("parent_seq")
     )
+    if trap_gate:
+        # crawl-trap ADMISSION gate (canon.is_crawl_trap): applied to raw
+        # discovered URLs BEFORE canonicalize/dedupe/seen — trap families
+        # (session-id aliases, calendar loops, parameter explosions)
+        # never enter the pending set, the bloom, or the seen table, so
+        # at 10^10 scale an adversarial site can't inflate the state
+        # tables. Map-only (the signal struct carries ONE copy of the
+        # URL parse tree); rows dropped here are intentionally absent
+        # from every downstream count.
+        discovered = discovered.filter(~canon.is_crawl_trap(F.col("url")))
     # constants attached after the dedupe shuffle (see seeds_to_frontier)
     discovered = (
         _dedupe_candidates_slim(canonicalize_candidates(discovered).select(*_DEDUP_COLS))

@@ -755,3 +755,41 @@ def test_bootstrap_rejects_unknown_seen_layout(spark):
     with tempfile.TemporaryDirectory() as d:
         with pytest.raises(ValueError):
             frontier.bootstrap(spark, SnapshotStore(d), seeds, seen_layout="bucket")
+
+
+def test_trap_gate_blocks_discovered_traps(spark):
+    """trap_gate=True: a discovered outlink matching a crawl-trap signal
+    (session-id marker here) never enters the frontier or seen state;
+    the clean outlink from the same page does. Without the gate the trap
+    URL is admitted — pinning that the flag is the only difference."""
+    import tempfile
+
+    from post_processor_spark import frontier
+    from post_processor_spark.state import SnapshotStore
+
+    trap = "https://host1.example.com/page;jsessionid=deadbeef"
+    good = "https://host1.example.com/ok"
+    docs = spark.createDataFrame(
+        [(
+            "d0",
+            [("text", "body", "", 0),
+             ("link", "a", trap, 1),
+             ("link", "b", good, 2)],
+            "https://host0.example.com/doc/0", "host0.example.com", 0,
+        )],
+        "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "url string, host string, seq long",
+    )
+    seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq"))
+    for gate, expect_trap in ((False, True), (True, False)):
+        with tempfile.TemporaryDirectory() as d:
+            store = SnapshotStore(d)
+            frontier.run_generations(
+                spark, store, docs, seeds, n_generations=1,
+                budget_per_host=4, use_bloom=False, trap_gate=gate,
+            )
+            fr_urls = {r["url"] for r in
+                       store.read(spark, "frontier", 1).collect()}
+            assert good in fr_urls
+            assert (trap in fr_urls) is expect_trap
