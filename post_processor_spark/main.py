@@ -52,6 +52,7 @@ def cmd_crawl(args) -> None:
         budget_per_host=args.budget,
         crawl_delay_sec=args.delay,
         use_bloom=not args.no_bloom,
+        trap_gate=args.trap_gate,
     )
     for s in stats:
         print(json.dumps(s))
@@ -141,6 +142,8 @@ def main() -> None:
     c.add_argument("--out", required=True)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--no-bloom", action="store_true")
+    c.add_argument("--trap-gate", action="store_true",
+                   help="drop crawl-trap-shaped outlinks before the seen filter")
     c.set_defaults(fn=cmd_crawl)
 
     a = sub.add_parser("analyze")
