@@ -793,3 +793,35 @@ def test_trap_gate_blocks_discovered_traps(spark):
                        store.read(spark, "frontier", 1).collect()}
             assert good in fr_urls
             assert (trap in fr_urls) is expect_trap
+
+
+def test_generation_metrics_rollup_contract(spark):
+    """The metrics table written by run_generation must carry, per
+    generation: one summary row (partition_id -1) whose scheduled count
+    equals BOTH the sum of the per-partition rows and the scheduled
+    count the driver reported — pinning the observation+rollup plumbing
+    that replaced the per-generation collect."""
+    import tempfile
+
+    from post_processor_spark import frontier
+    from post_processor_spark.state import SnapshotStore
+
+    docs = fixtures.synthetic_documents(spark, 300, n_hosts=15, seed=23).persist()
+    seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq")).limit(40)
+    with tempfile.TemporaryDirectory() as d:
+        store = SnapshotStore(d)
+        stats = frontier.run_generations(
+            spark, store, docs, seeds, n_generations=2, budget_per_host=4,
+            use_bloom=False,
+        )
+        m = store.read(spark, "metrics").collect()
+        for g in (1, 2):
+            rows = [r for r in m if r["generation"] == g]
+            summary = [r for r in rows if r["partition_id"] == -1]
+            parts = [r for r in rows if r["partition_id"] >= 0]
+            assert len(summary) == 1
+            assert summary[0]["scheduled"] == sum(r["scheduled"] for r in parts)
+            assert summary[0]["scheduled"] == stats[g]["scheduled"]
+            assert summary[0]["rows_in"] == stats[g]["rows_in"]
+            assert all(r["rows_in"] == summary[0]["rows_in"] for r in parts)
+    docs.unpersist()
