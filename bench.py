@@ -78,6 +78,7 @@ HEADLINE_QUERIES = [
     "q_weighted_sample",
     "q_edit_verify",
     "q_url_templates",
+    "q_url_traps",
     "q_frontier_schedule",
     "q_seen_filter",
 ]
