@@ -1561,7 +1561,11 @@ def _q_redirect_resolve(spark, sf):
         [("c0", "c1"), ("c1", "c2"), ("c2", "c0"), ("t0", "c0")],
         "src string, dst string",
     )
-    res = graph.redirect_resolve(chain.unionByName(extra))
+    # max_hops=8 is the crawler policy bound: the synthetic chains are
+    # ≤ 4 hops, so the output is identical to exact mode while the round
+    # count drops from log2(#srcs) to log2(8) (each round is two fixed
+    # job launches — the operator's real cost at this size)
+    res = graph.redirect_resolve(chain.unionByName(extra), max_hops=8)
     return res.select(
         "src",
         F.coalesce("final", F.lit("")).alias("final"),

@@ -115,6 +115,7 @@ def redirect_resolve(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    max_hops: int | None = None,
 ) -> DataFrame:
     """Resolve HTTP-redirect chains to their final destination by pointer
     doubling — the step a crawler runs over the (url → redirect target)
@@ -142,17 +143,31 @@ def redirect_resolve(
     into) a cycle, detected without per-node visited state or an
     unbounded loop. A no-progress round short-circuits early (an
     acyclic edge set finishes as soon as every pointer is terminal).
-    """
+
+    max_hops: crawler policy bound (the max-redirects limit every real
+    fetcher enforces). When set, the round count is ceil(log2(max_hops))
+    + 1 instead of depending on the source count, and any chain longer
+    than max_hops is flagged is_cycle=true — the same "mark the URL
+    dead" outcome a fetcher gives a redirect loop OR an over-limit
+    chain. With max_hops ≥ the true longest terminal chain the output
+    is identical to the exact mode; each skipped doubling round saves
+    two fixed job launches (checkpoint + progress probe), which at
+    typical data sizes IS the operator's cost."""
     step = (
         edges.groupBy(F.col(src_col).alias("_src"))
         .agg(F.min(dst_col).alias("_ptr"))
         .select("_src", "_ptr", F.lit(1).cast("long").alias("_hops"))
         .localCheckpoint()
     )
-    n_src = step.count()
     srcs = step.select(F.col("_src").alias("_s"))
     cur = step
-    rounds = max(1, (max(n_src, 2) - 1).bit_length()) + 1
+    if max_hops is not None:
+        if max_hops < 1:
+            raise ValueError(f"max_hops must be >= 1: {max_hops}")
+        rounds = max(1, (max(max_hops, 2) - 1).bit_length()) + 1
+    else:
+        n_src = step.count()
+        rounds = max(1, (max(n_src, 2) - 1).bit_length()) + 1
     for _ in range(rounds):
         hop = cur.select(
             F.col("_src").alias("_jsrc"),

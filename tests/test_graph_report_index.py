@@ -34,6 +34,28 @@ def test_redirect_resolve_chains_cycles_tails(spark):
     assert len(out) == len(edges)
 
 
+def test_redirect_resolve_max_hops_policy_bound(spark):
+    """max_hops ≥ the longest terminal chain → identical to exact mode;
+    a chain LONGER than max_hops is flagged is_cycle (the crawler's
+    over-limit = dead-URL outcome); cycles flag either way."""
+    edges = [("a", "b"), ("b", "c"), ("f", "g"), ("g", "f")]
+    edges += [(f"x{i}", f"x{i - 1}") for i in range(9, 0, -1)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    exact = {r["src"]: (r["final"], r["hops"], r["is_cycle"])
+             for r in graph.redirect_resolve(df).collect()}
+    capped = {r["src"]: (r["final"], r["hops"], r["is_cycle"])
+              for r in graph.redirect_resolve(df, max_hops=16).collect()}
+    assert capped == exact
+    tight = {r["src"]: r["is_cycle"]
+             for r in graph.redirect_resolve(df, max_hops=2).collect()}
+    assert tight["a"] is False          # 2 hops: within the limit
+    assert tight["x9"] is True          # 9 hops: over-limit → dead
+    assert tight["f"] is True           # cycle flags either way
+    import pytest
+    with pytest.raises(ValueError, match="max_hops"):
+        graph.redirect_resolve(df, max_hops=0)
+
+
 def test_redirect_resolve_duplicate_src_deterministic(spark):
     # duplicate src collapses to min(dst) before resolution
     df = spark.createDataFrame(
