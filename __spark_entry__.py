@@ -1064,7 +1064,11 @@ def _q_training_pipeline(spark, sf):
         sample_budget_fraction=0.5,
         pack_budget=256,
         salt="tp1",
-        materialize="persist",
+        # checkpoint, not persist: cached-plan entries from persist are
+        # never GC'd (CacheManager keys outlive the DataFrame), so
+        # repeated invocations (bench sweeps, oracle runs) would leak
+        # cache; localCheckpoint blocks are reclaimed with the RDD
+        materialize="checkpoint",
     )
     return packed.select(
         "shard", "doc_id", "n_tokens", "start_off", "end_off",
