@@ -93,6 +93,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
     w, h = struct.unpack_from("<ii", data, 18)
     (bpp,) = struct.unpack_from("<H", data, 28)
     (comp,) = struct.unpack_from("<I", data, 30)
@@ -107,7 +108,25 @@ def decode_bmp(data: bytes) -> np.ndarray:
         data, dtype=np.uint8, count=row_bytes * h, offset=pix_off
     ).reshape(h, row_bytes)
     if bpp == 8:
-        gray = raster[:, :w].astype(np.float64)
+        # 8-bpp pixels are COLOR TABLE indices, not samples: the palette
+        # (BGRX quads, biClrUsed entries or 256 when 0) sits between the
+        # info header and the pixel array and is mandatory for indexed
+        # BMPs. Map indices through the palette's luma; a writer that
+        # omitted the table (pixel data immediately after the header)
+        # gets the identity-grayscale reading.
+        (clr_used,) = struct.unpack_from("<I", data, 46)
+        n_colors = min(clr_used or 256, max((pix_off - 14 - hdr_size) // 4, 0))
+        idx = raster[:, :w]
+        if n_colors == 0:
+            gray = idx.astype(np.float64)
+        else:
+            pal = np.frombuffer(
+                data, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+            ).reshape(n_colors, 4).astype(np.float64)
+            luma = pal[:, 2] * _GRAY[0] + pal[:, 1] * _GRAY[1] + pal[:, 0] * _GRAY[2]
+            if len(luma) < 256:  # out-of-table indices read as identity
+                luma = np.concatenate([luma, np.arange(len(luma), 256.0)])
+            gray = luma[idx]
     else:
         ch = bpp // 8
         px = raster[:, : w * ch].reshape(h, w, ch).astype(np.float64)

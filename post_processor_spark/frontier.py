@@ -542,6 +542,23 @@ FRONTIER_COLS = [
 ]
 
 
+def _observed(obs: Observation, defaults: dict) -> dict:
+    """Read an Observation's metrics, defaulting when the observed
+    subtree was optimized away.
+
+    Empty-relation propagation may remove a CollectMetrics node whose
+    input is provably empty at runtime (e.g. the scheduled-rows filter
+    in a generation where robots blocked every pending row); the JVM
+    Observation then completes with a schemaless empty row that
+    Observation.get cannot convert. Elimination only happens when the
+    observed input was empty, so each defaulted value must be the
+    observed aggregate's empty-input result (counts/sums → 0)."""
+    try:
+        return obs.get
+    except Exception:
+        return defaults
+
+
 def pending_view(
     spark: SparkSession, store: SnapshotStore, generation: int | None = None
 ) -> DataFrame:
@@ -681,17 +698,19 @@ def run_generation(
             .select(*FRONTIER_COLS)
         )
         schedulable = gated.filter(~F.col("robots_blocked")).drop("robots_blocked")
-        # rows_in / n_blocked folded into ONE aggregate (driver-side
-        # actions are fixed per-generation overhead); computed HERE, not
-        # after scheduling, because the head refill below must know
-        # whether anything was blocked before politeness runs.
-        a = gated.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("robots_blocked").cast("long")).alias("b"),
-        ).collect()[0]
-        rows_in = a["n"]
-        n_blocked = int(a["b"] or 0)
-        if head_df is not None and n_blocked > 0:
+        # rows_in / n_blocked are NOT collected here: they ride the
+        # metrics write as a one-row aggregate over the persisted gated
+        # head with an Observation attached (see the metrics section) —
+        # removing the last synchronous driver action from the
+        # generation loop. The head-refill decision below is likewise
+        # RELATIONAL: the refill plan is always built, and degenerates
+        # to the identity at runtime when nothing was blocked
+        # (blocked_hosts is empty → AQE's empty-relation propagation
+        # replaces the broadcast semi-join with an empty relation and
+        # the anti-join with its stream side).
+        rows_in = None
+        n_blocked = None
+        if head_df is not None:
             # Head-cache × robots exactness fix: the head-exactness
             # argument assumes ≤ B rows leave a host's head per
             # generation, but robots-blocked head rows ALSO leave (they
@@ -810,27 +829,53 @@ def run_generation(
     # scheduled rows are fetched within the generation → status done
     finished = scheduled.withColumn("status", F.lit("done"))
     # Driver-side actions are per-generation FIXED overhead that caps the
-    # headline rate and scaling efficiency, so counts are folded: with
-    # robots, rows_in/n_blocked came from the single pre-scheduling
-    # aggregate above (that one must run BEFORE scheduling — it gates the
-    # head refill decision); without robots, rows_in rides the metrics
-    # job below like everything else.
+    # headline rate and scaling efficiency, so ALL counts are folded into
+    # the metrics job inside the atomic commit — with or without robots
+    # the generation loop runs ZERO synchronous driver actions before the
+    # commit (the pre-r5 robots path collected a one-row aggregate before
+    # scheduling to decide the head refill; that decision is now
+    # relational — see the refill block).
     wall_ms = int((time.time() - t0) * 1000)
     # per-partition lineage (A6/north_rule): partition-level scheduled
     # counts as ONE lazy rollup — per-partition rows plus the grand-total
     # row (rollup's null group → partition_id -1) — that rides the
     # metrics write inside the atomic commit instead of a per-generation
-    # driver collect. n_scheduled (and, without robots, rows_in) reach
-    # the driver through Observations piggybacked on the same job: zero
+    # driver collect. n_scheduled, rows_in, and n_blocked reach the
+    # driver through Observations piggybacked on the same job: zero
     # extra actions per generation. (Each observed subtree appears
     # exactly once in exactly one executed plan — a CollectMetrics node
     # must never be duplicated or re-executed, or the observed count
     # would double.)
     rows_in_obs = None
+    totals_obs = None
     m_src = updated
-    if rows_in is None:
+    if gated is not None:
+        # robots path: rows_in keeps its pre-r5 meaning (the scheduler's
+        # PRE-robots input — the gated head size, blocked rows included)
+        # and n_blocked rides along, both as ONE one-row aggregate over
+        # the persisted gated head, broadcast onto every metrics row.
+        # The Observation sits on the aggregate (a one-row subtree that
+        # executes exactly once, in the metrics write) and ferries both
+        # values to the driver.
+        totals_obs = Observation(f"robots_totals_{generation}")
+        totals = gated.agg(
+            F.count(F.lit(1)).cast("long").alias("_rows_in"),
+            F.coalesce(
+                F.sum(F.col("robots_blocked").cast("long")), F.lit(0)
+            ).cast("long").alias("_n_blocked"),
+        ).observe(
+            totals_obs,
+            F.max("_rows_in").alias("n"),
+            F.max("_n_blocked").alias("b"),
+        )
+    else:
+        # relational rows_in: a one-row total over the (persisted)
+        # scheduler output, broadcast onto every metrics row — no
+        # observe node on this second scan of `updated` (it must not
+        # re-fire rows_in_obs)
         rows_in_obs = Observation(f"rows_in_{generation}")
         m_src = updated.observe(rows_in_obs, F.count(F.lit(1)).alias("n"))
+        totals = updated.agg(F.count(F.lit(1)).cast("long").alias("_rows_in"))
     sched_obs = Observation(f"sched_gen_{generation}")
     part_metrics = (
         m_src.filter(F.col("status") == "scheduled")
@@ -839,16 +884,25 @@ def run_generation(
         .rollup("pid")
         .agg(F.count("*").alias("n_sched"))
     )
-    if rows_in is not None:
-        rows_in_col = F.lit(rows_in).cast("long")
-    else:
-        # relational rows_in: a one-row total over the (persisted)
-        # scheduler output, broadcast onto every metrics row — no
-        # observe node here (this second scan of `updated` must not
-        # re-fire rows_in_obs)
-        totals = updated.agg(F.count(F.lit(1)).cast("long").alias("_rows_in"))
-        part_metrics = part_metrics.crossJoin(F.broadcast(totals))
-        rows_in_col = F.col("_rows_in")
+    # A grouping-set aggregation over EMPTY input emits no rows at all —
+    # without the fallback a generation that scheduled nothing (e.g.
+    # robots blocked every head row) would write no metrics rows, losing
+    # the always-present partition_id=-1 summary row. Union a literal
+    # zero row and sum-merge by pid: per-partition rows pass through
+    # untouched, the null-pid fallback folds into the rollup's grand
+    # total when one exists (total + 0) and BECOMES the summary row when
+    # the rollup was empty. Tiny aggregate (≤ partitions+2 rows).
+    fallback = updated.sparkSession.range(1).select(
+        F.lit(None).cast("int").alias("pid"),
+        F.lit(0).cast("long").alias("n_sched"),
+    )
+    part_metrics = (
+        part_metrics.unionByName(fallback)
+        .groupBy("pid")
+        .agg(F.sum("n_sched").alias("n_sched"))
+    )
+    part_metrics = part_metrics.crossJoin(F.broadcast(totals.select("_rows_in")))
+    rows_in_col = F.col("_rows_in")
     metrics = part_metrics.select(
         F.lit(generation).cast("int").alias("generation"),
         F.coalesce(F.col("pid"), F.lit(-1)).cast("int").alias("partition_id"),
@@ -940,9 +994,13 @@ def run_generation(
     store.write_many(writes)
     # the metrics write above executed the observed plan; get() returns
     # the filled values without launching anything
-    n_scheduled = int(sched_obs.get["n_scheduled"])
-    if rows_in is None:
-        rows_in = int(rows_in_obs.get["n"])
+    n_scheduled = int(_observed(sched_obs, {"n_scheduled": 0})["n_scheduled"])
+    if totals_obs is not None:
+        tv = _observed(totals_obs, {"n": 0, "b": 0})
+        rows_in = int(tv["n"])
+        n_blocked = int(tv["b"])
+    else:
+        rows_in = int(_observed(rows_in_obs, {"n": 0})["n"])
     extras = tuple(h for h in (gated, refill) if h is not None)
     for h in (updated, pending, discovered, new_base) + extras:
         h.unpersist()

@@ -825,3 +825,33 @@ def test_generation_metrics_rollup_contract(spark):
             assert summary[0]["rows_in"] == stats[g]["rows_in"]
             assert all(r["rows_in"] == summary[0]["rows_in"] for r in parts)
     docs.unpersist()
+
+
+def test_zero_scheduled_generation_still_writes_summary_metrics(spark):
+    """A generation that schedules NOTHING (robots blocks every pending
+    row) must still write its partition_id=-1 summary metrics row — a
+    grouping-set aggregation over empty input emits no rows, so without
+    the literal-fallback union the generation would vanish from the
+    metrics table (rows_in / wall_ms / blocked lineage lost)."""
+    docs = fixtures.synthetic_documents(spark, 60, n_hosts=3, seed=31).persist()
+    seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq")).limit(12)
+    robots = spark.createDataFrame(
+        [(f"host{i}.example.com", ["/"]) for i in range(3)],
+        "host string, disallow array<string>",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        store = SnapshotStore(d)
+        out = frontier.run_generations(
+            spark, store, docs, seeds, n_generations=1, budget_per_host=4,
+            use_bloom=False, robots=robots,
+        )
+        assert out[1]["scheduled"] == 0
+        assert out[1]["blocked"] > 0
+        assert out[1]["rows_in"] > 0
+        m = [r for r in store.read(spark, "metrics").collect()
+             if r["generation"] == 1]
+        summary = [r for r in m if r["partition_id"] == -1]
+        assert len(summary) == 1
+        assert summary[0]["scheduled"] == 0
+        assert summary[0]["rows_in"] == out[1]["rows_in"]
+    docs.unpersist()
