@@ -187,16 +187,37 @@ def _band_buckets(
 
 _CAP_OVERSAMPLE = 2
 _CAP_RANK_MOD = 1 << 20
+# Floor on the gate's EXPECTED survivor count: the Chernoff argument
+# below ("< max_bucket survivors vanishingly unlikely") needs the
+# expectation comfortably above max_bucket in absolute terms, which
+# _CAP_OVERSAMPLE×max_bucket alone only gives at max_bucket ≳ 100. For
+# smaller caps the keep-threshold targets _CAP_MIN_EXPECT survivors
+# instead (P[Binom(E=200) < 100] < e^-25); buckets at or under the
+# target pass whole, so the aggregate row stays bounded by ~max(2×
+# max_bucket, _CAP_MIN_EXPECT) either way.
+_CAP_MIN_EXPECT = 200
 
 
-def _gate_oversized_buckets(b: DataFrame, max_bucket: int) -> DataFrame:
+def _gate_oversized_buckets(
+    b: DataFrame, max_bucket: int, distinct_ids: bool = False
+) -> DataFrame:
     """Pre-aggregation bound for LSH bucket caps: census the (band,
     bucket) sizes (a partial-aggregable count — map-side combined), then
     drop members of oversized buckets by deterministic hash rank BEFORE
     any collect_list/collect_set, keeping ~_CAP_OVERSAMPLE × max_bucket
-    survivors in expectation (Chernoff makes < max_bucket survivors
-    vanishingly unlikely at max_bucket ≥ 100; the exact final cap is
-    still the slice after aggregation).
+    survivors in expectation, never fewer than max_bucket except with
+    vanishing probability (Chernoff; see _CAP_MIN_EXPECT for the
+    small-cap floor). The exact final cap is still the slice after
+    aggregation.
+
+    distinct_ids: census with count(DISTINCT id) instead of count(*).
+    Required whenever the input can carry the same id several times per
+    (band, bucket) — e.g. merging overlapping index deltas. The keep
+    decision is a pure function of (id, band, bucket), so an id's copies
+    survive or drop together; with a raw count(*) census the duplicates
+    would inflate _n and each DISTINCT id would survive with probability
+    target/_n — the expected distinct survivors would fall below
+    max_bucket and in-cap ids would be silently dropped.
 
     Without this gate the cap sliced AFTER materializing the full member
     array: one 10^7-member near-dup family (post-exact-dedup boilerplate)
@@ -210,13 +231,18 @@ def _gate_oversized_buckets(b: DataFrame, max_bucket: int) -> DataFrame:
     Cost: one extra small shuffle of (band, bucket, count) partials and a
     broadcast of the oversized-bucket census (|census| = degenerate
     buckets only — near-empty in a healthy corpus)."""
+    size = F.countDistinct("id") if distinct_ids else F.count("*")
     census = (
         b.groupBy("band", "bucket")
-        .agg(F.count("*").alias("_n"))
+        .agg(size.alias("_n"))
         .filter(F.col("_n") > max_bucket)
     )
+    target = max(max_bucket * _CAP_OVERSAMPLE, _CAP_MIN_EXPECT)
+    # thresh may exceed _CAP_RANK_MOD when max_bucket < _n ≤ target —
+    # the pmod comparison then keeps every row (gate is a no-op for that
+    # bucket; the bucket is ≤ target rows, so still bounded)
     thresh = F.floor(
-        F.lit(float(max_bucket * _CAP_OVERSAMPLE * _CAP_RANK_MOD)) / F.col("_n")
+        F.lit(float(target * _CAP_RANK_MOD)) / F.col("_n")
     ).cast("long")
     gated = b.join(F.broadcast(census), ["band", "bucket"], "left")
     keep = F.col("_n").isNull() | (
@@ -309,11 +335,15 @@ def merge_lsh_index(deltas: DataFrame, max_bucket: int = 1000) -> DataFrame:
     batch's delta and merge — cost ∝ |touched buckets|, never a corpus
     rescan. A bucket touched by MANY deltas could otherwise accumulate
     cap × n_deltas members into one aggregate row, so the same hash-rank
-    pre-gate bounds the merge aggregation (duplicate ids across deltas
-    hash identically — the gate is set-stable)."""
+    pre-gate bounds the merge aggregation — with a count(DISTINCT id)
+    census (distinct_ids=True): exploded delta rows repeat ids, and a
+    raw row count would overstate bucket sizes and make the gate drop
+    in-cap distinct members (the keep decision itself is set-stable —
+    an id's copies hash identically, so they survive or drop together;
+    only the census needed the distinct count)."""
     exploded = deltas.select("band", "bucket", F.explode("ids").alias("id"))
     return (
-        _gate_oversized_buckets(exploded, max_bucket)
+        _gate_oversized_buckets(exploded, max_bucket, distinct_ids=True)
         .groupBy("band", "bucket")
         .agg(F.slice(F.sort_array(F.collect_set("id")), 1, max_bucket).alias("ids"))
     )

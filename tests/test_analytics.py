@@ -395,6 +395,31 @@ def test_bmp_roundtrip():
     assert np.allclose(out, gray.astype(np.float64), atol=1e-9)
 
 
+def test_bmp_8bpp_palette_mapped():
+    """8-bpp BMP pixels are color-table indices: a non-identity palette
+    must map through the table's luma, not read indices as gray values.
+    Index 0 → pure red (luma 76.245), index 1 → pure white (255)."""
+    import struct
+
+    import numpy as np
+
+    w, h = 3, 2
+    row_bytes = ((8 * w + 31) // 32) * 4
+    raster = np.array([[0, 1, 0, 0], [1, 0, 1, 0]], dtype=np.uint8)
+    pixels = raster[::-1].tobytes()  # bottom-up
+    # 2-entry palette: BGRX quads — red then white
+    palette = bytes([0, 0, 255, 0, 255, 255, 255, 0])
+    pix_off = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pixels), 2835, 2835, 2, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", pix_off + len(pixels), 0, 0, pix_off)
+    out = multimodal.decode_bmp(header + info + palette + pixels)
+    red = 255 * 0.299
+    assert out.shape == (h, w)
+    assert np.allclose(out, [[red, 255.0, red], [255.0, red, 255.0]], atol=1e-9)
+
+
 def test_pnm_decode_variants():
     """P5 binary PGM (with a comment line), P6 binary PPM (luma-reduced),
     and P2 ascii PGM all parse per spec."""
@@ -906,3 +931,56 @@ def test_lsh_bucket_gate_is_identity_under_cap(spark):
         for r in dedup._gate_oversized_buckets(b, 1000).collect()
     )
     assert before == after
+
+
+def test_merge_lsh_index_overlapping_deltas_keep_all_in_cap_ids(spark):
+    """Merging MANY overlapping deltas must honor the 'sorted distinct
+    union, re-capped' contract: when a bucket's DISTINCT membership is
+    within max_bucket, every id survives the merge no matter how many
+    deltas repeat it. With a raw count(*) census the 8× duplication
+    below inflated _n to 800 > cap and the gate dropped ~70% of the
+    distinct ids; the census must count distinct ids."""
+    from pyspark.sql import functions as F
+    from post_processor_spark.analytics import dedup
+
+    ids = [f"doc{i:03d}" for i in range(100)]
+    one = spark.createDataFrame(
+        [(0, 7, ids)], "band int, bucket bigint, ids array<string>"
+    )
+    deltas = one
+    for _ in range(7):
+        deltas = deltas.unionByName(one)
+    merged = dedup.merge_lsh_index(deltas, max_bucket=120).collect()
+    assert len(merged) == 1
+    assert merged[0]["ids"] == sorted(ids)
+    # idempotency: re-merging the merged index changes nothing
+    again = dedup.merge_lsh_index(
+        spark.createDataFrame(merged, "band int, bucket bigint, ids array<string>"),
+        max_bucket=120,
+    ).collect()
+    assert again == merged
+
+
+def test_lsh_gate_small_cap_never_undershoots(spark):
+    """max_bucket far below the Chernoff-comfortable range (~100) must
+    still leave at least max_bucket survivors for the final slice: the
+    gate's keep-threshold targets _CAP_MIN_EXPECT survivors when
+    2×max_bucket would be too small an expectation."""
+    from pyspark.sql import functions as F
+    from post_processor_spark.analytics import dedup
+
+    cap = 10
+    b = spark.range(5000).select(
+        F.lit(0).alias("band"),
+        F.lit(1).cast("long").alias("bucket"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("id"),
+    )
+    survivors = dedup._gate_oversized_buckets(b, cap).count()
+    assert cap <= survivors <= 4 * dedup._CAP_MIN_EXPECT
+    members = (
+        dedup._gate_oversized_buckets(b, cap)
+        .groupBy("band", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, cap).alias("ids"))
+        .collect()
+    )
+    assert len(members) == 1 and len(members[0]["ids"]) == cap
