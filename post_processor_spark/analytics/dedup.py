@@ -199,7 +199,8 @@ _CAP_MIN_EXPECT = 200
 
 
 def _gate_oversized_buckets(
-    b: DataFrame, max_bucket: int, distinct_ids: bool = False
+    b: DataFrame, max_bucket: int, distinct_ids: bool = False,
+    share_scan: bool = False,
 ) -> DataFrame:
     """Pre-aggregation bound for LSH bucket caps: census the (band,
     bucket) sizes (a partial-aggregable count — map-side combined), then
@@ -230,8 +231,29 @@ def _gate_oversized_buckets(
 
     Cost: one extra small shuffle of (band, bucket, count) partials and a
     broadcast of the oversized-bucket census (|census| = degenerate
-    buckets only — near-empty in a healthy corpus)."""
-    size = F.countDistinct("id") if distinct_ids else F.count("*")
+    buckets only — near-empty in a healthy corpus).
+
+    share_scan: route b through ONE explicit exchange that both the
+    census and the gate probe consume (ReusedExchange), so b's lineage
+    is computed exactly once. Without it the census subtree recomputes
+    b in full — for the minhash paths that means re-shingling and
+    re-hashing the whole corpus (measured 0.89 s vs 0.53 s ungated at
+    sf0.1; at 10^10 docs the recompute IS the job, while the extra
+    exchange moves only ~30 B/row of (id, band, bucket)). The exchange
+    hashes on (id, band) — NOT on the bucket — so a degenerate
+    mega-bucket spreads uniformly instead of landing on one shuffle
+    partition; the census still partial-aggregates map-side, and the
+    post-gate members shuffle carries only survivors, exactly as
+    before. Off by default: callers whose b is a cheap scan (index
+    delta explode) would pay a full-row shuffle to save a re-scan."""
+    if share_scan:
+        b = b.repartition(F.xxhash64("id", "band"))
+    # count(id), not count(*): id is never null here (bucket rows come
+    # from signatures / index explodes), and referencing it keeps the
+    # census subtree's column set identical to the probe's — otherwise
+    # pruning drops id below the census, the two shared-scan exchanges
+    # canonicalize differently, and ReuseExchange never fires.
+    size = F.countDistinct("id") if distinct_ids else F.count("id")
     census = (
         b.groupBy("band", "bucket")
         .agg(size.alias("_n"))
@@ -295,7 +317,9 @@ def minhash_lsh_candidates(
     # buckets are hash-rank pre-gated BEFORE the collect_list
     # (_gate_oversized_buckets) so the aggregate row itself is bounded;
     # the slice is the exact final cap.
-    members = _gate_oversized_buckets(b, max_bucket).groupBy("band", "bucket").agg(
+    members = _gate_oversized_buckets(
+        b, max_bucket, share_scan=True
+    ).groupBy("band", "bucket").agg(
         F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids")
     )
     return _pairs_from_members(members)
@@ -322,7 +346,9 @@ def build_lsh_index(
     pre-gated before the aggregation, then sliced — the same rule as the
     batch path); the cap is per-delta — see merge_lsh_index."""
     b = _band_buckets(signatures, bands, rows_per_band)
-    return _gate_oversized_buckets(b, max_bucket).groupBy("band", "bucket").agg(
+    return _gate_oversized_buckets(
+        b, max_bucket, share_scan=True
+    ).groupBy("band", "bucket").agg(
         F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids")
     )
 
