@@ -2,14 +2,16 @@
 with typed metadata. The Spark-side plumbing (schema, partitioning, Arrow
 batch shape, UDF signatures) is real and tested.
 
-Strict-mode decode is REAL for three public container formats that need
-no external codec library — BMP (uncompressed BI_RGB 8/24/32-bit), PNM
-(P2/P3 ascii, P5/P6 binary, 8/16-bit) and WAV PCM (stdlib `wave`) — all
-parsed with struct/numpy from their published specs. Compressed formats
-(JPEG/PNG/MP4/...) still raise NotImplementedError with a clear message:
-that boundary is where a real deployment plugs PIL/ffmpeg in. Test mode
-keeps the deterministic fake (payload bytes = decoded samples) so
-oracle-gated queries stay engine-independent.
+Strict-mode decode is REAL for four public container formats that need
+no external codec library — BMP (uncompressed BI_RGB 8/24/32-bit,
+palette-mapped at 8 bpp), PNG (non-interlaced 8/16-bit gray/RGB(A):
+stdlib zlib inflate + spec unfilter), PNM (P2/P3 ascii, P5/P6 binary,
+8/16-bit) and WAV PCM (stdlib `wave`) — all parsed with struct/zlib/
+numpy from their published specs. Formats needing external codec
+libraries (JPEG/MP4/...) still raise NotImplementedError with a clear
+message: that boundary is where a real deployment plugs PIL/ffmpeg in.
+Test mode keeps the deterministic fake (payload bytes = decoded
+samples) so oracle-gated queries stay engine-independent.
 """
 
 from __future__ import annotations
@@ -150,6 +152,116 @@ def encode_bmp(gray: np.ndarray) -> bytes:
     return header + info + pixels
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Non-interlaced PNG (bit depth 8 or 16; gray / RGB / gray+alpha /
+    RGBA) → 2-D float64 grayscale, stdlib-only from the published spec
+    (RFC 2083): chunk walk → concatenated IDAT → zlib inflate → per-
+    scanline unfilter (None/Sub/Up/Average/Paeth) → luma reduction.
+    Palette (color type 3) and interlaced images stay on the
+    NotImplementedError codec boundary; alpha is ignored (the engine's
+    sample contract is a gray raster, not compositing)."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None or depth not in (8, 16) or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not supported (depth={depth}, color_type="
+            f"{color_type}, interlace={interlace}); only non-interlaced "
+            "8/16-bit gray/RGB(A)"
+        )
+    bpp = channels * (depth // 8)          # filter byte-offset per pixel
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        row = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:                   # Up — fully vectorized
+            row += prev
+        elif ftype in (1, 3, 4):           # Sub/Average/Paeth — sequential in x
+            r = row.astype(np.int32)
+            p = prev.astype(np.int32)
+            for x in range(stride):
+                a = r[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    r[x] = (r[x] + a) & 0xFF
+                elif ftype == 3:
+                    r[x] = (r[x] + ((a + p[x]) >> 1)) & 0xFF
+                else:
+                    b, c = p[x], (p[x - bpp] if x >= bpp else 0)
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    r[x] = (r[x] + pred) & 0xFF
+            row = r.astype(np.uint8)
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = row
+        prev = row
+    if depth == 16:                        # big-endian per spec
+        px = out.reshape(h, w, channels, 2).astype(np.float64)
+        samples = px[..., 0] * 256.0 + px[..., 1]
+    else:
+        samples = out.reshape(h, w, channels).astype(np.float64)
+    if color_type in (0, 4):
+        return samples[..., 0]
+    return (
+        samples[..., 0] * _GRAY[0]
+        + samples[..., 1] * _GRAY[1]
+        + samples[..., 2] * _GRAY[2]
+    )
+
+
+def encode_png(gray: np.ndarray) -> bytes:
+    """2-D uint8 grayscale → 8-bit grayscale non-interlaced PNG (filter
+    0 rows, one zlib IDAT). The inverse fixture for decode_png —
+    stdlib-only, round-trips exactly."""
+    import zlib
+
+    a = np.asarray(gray, dtype=np.uint8)
+    h, w = a.shape
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_pnm(data: bytes) -> np.ndarray:
     """PNM (P2/P3 ascii, P5/P6 binary; PGM grayscale or PPM RGB) → 2-D
     float64 grayscale. Header tokens are whitespace-separated with
@@ -217,13 +329,15 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
         raise ValueError("empty media payload")
     if payload[:2] == b"BM":
         return decode_bmp(payload).ravel()
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload).ravel()
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return decode_pnm(payload).ravel()
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise NotImplementedError(
-        "media payload is not BMP/PNM/WAV — compressed formats (JPEG, PNG, "
-        "MP4, ...) need codec libraries not present in this container; "
+        "media payload is not BMP/PNG/PNM/WAV — formats needing external "
+        "codecs (JPEG, MP4, ...) are not decodable in this container; "
         "plug PIL/ffmpeg into decode_media here"
     )
 

@@ -443,6 +443,84 @@ def test_pnm_decode_variants():
     assert multimodal.decode_pnm(p5w)[0, 0] == 513.0
 
 
+def test_png_roundtrip_and_filters():
+    """encode_png → decode_png is identity for 8-bit grayscale; a
+    hand-filtered stream exercises all five scanline filter types
+    (None/Sub/Up/Average/Paeth) against a reference forward-filter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(9, 7)).astype(np.uint8)
+    out = multimodal.decode_png(multimodal.encode_png(gray))
+    assert out.shape == (9, 7)
+    assert np.array_equal(out, gray.astype(np.float64))
+
+    # forward-filter the same image with one row per filter type
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    img = rng.randint(0, 256, size=(5, 6)).astype(np.uint8)
+    raw = b""
+    prev = np.zeros(6, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = img[y].astype(np.int32)
+        filt = row.copy()
+        for x in range(6):
+            a = row[x - 1] if x >= 1 else 0
+            b, c = prev[x], (prev[x - 1] if x >= 1 else 0)
+            if ftype == 1:
+                filt[x] = (row[x] - a) & 0xFF
+            elif ftype == 2:
+                filt[x] = (row[x] - b) & 0xFF
+            elif ftype == 3:
+                filt[x] = (row[x] - ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (row[x] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(filt.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 0, 0, 0, 0)
+    data = (multimodal._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert np.array_equal(multimodal.decode_png(data), img.astype(np.float64))
+
+
+def test_png_rgb_and_16bit():
+    """8-bit RGB reduces through the luma weights; 16-bit grayscale
+    samples are big-endian per spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    def png(w, h, depth, ct, raw):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 0)
+        return (multimodal._PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    rgb_row = b"\x00" + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    out = multimodal.decode_png(png(3, 1, 8, 2, rgb_row))
+    assert np.allclose(out[0], [255 * 0.299, 255 * 0.587, 255 * 0.114])
+
+    g16 = b"\x00" + (513).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+    out16 = multimodal.decode_png(png(2, 1, 16, 0, g16))
+    assert out16.tolist() == [[513.0, 65535.0]]
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):  # palette stays on the boundary
+        multimodal.decode_png(png(1, 1, 8, 3, b"\x00\x00"))
+
+
 def test_wav_decode():
     """Stdlib-written 16-bit stereo PCM decodes to channel-averaged
     float64 samples."""
@@ -473,14 +551,24 @@ def test_strict_pipeline_on_real_media(spark):
     rng = np.random.RandomState(42)
     gray = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
     payload = multimodal.encode_bmp(gray)
+    png_payload = multimodal.encode_png(gray)
     media = spark.createDataFrame(
-        [("m1", "image", "image/bmp", 8, 8, 0, bytearray(payload))],
+        [
+            ("m1", "image", "image/bmp", 8, 8, 0, bytearray(payload)),
+            ("m2", "image", "image/png", 8, 8, 0, bytearray(png_payload)),
+        ],
         schema=multimodal.MEDIA_SCHEMA,
     )
-    feats = multimodal.extract_features(media, dim=4, strict=True).collect()
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, dim=4, strict=True).collect()
+    }
     decoded = multimodal.decode_media(payload, "image").astype(np.float32)
     want, _ = multimodal._bucket_means(decoded, 4)
-    assert np.allclose(feats[0]["feature"], want.astype(np.float32))
+    assert np.allclose(feats["m1"]["feature"], want.astype(np.float32))
+    # same image through the PNG decoder → identical features
+    assert np.allclose(feats["m2"]["feature"], want.astype(np.float32))
+    media = media.filter("media_id = 'm1'")
 
     ph = multimodal.perceptual_hash(media, dim=16, strict=True).collect()
     b64, mu = multimodal._bucket_means(decoded.astype(np.float64), 16)
