@@ -210,6 +210,75 @@ def frontier_throughput(spark, n_urls: int, state: dict | None = None) -> tuple[
     return n_scheduled / dt, n_scheduled
 
 
+CRAWL_DOCS = int(os.environ.get("BENCH_CRAWL_DOCS", "50000"))
+CRAWL_GENERATIONS = int(os.environ.get("BENCH_CRAWL_GENERATIONS", "6"))
+
+
+def crawl_e2e(spark, n_docs: int = CRAWL_DOCS,
+              n_generations: int = CRAWL_GENERATIONS) -> dict:
+    """End-to-end multi-generation crawl: the product's real workload —
+    bootstrap → (robots gate → head/politeness schedule → fetch-sim →
+    outlink discovery → trap gate → in-batch dedupe → bloom+exact seen
+    filter → atomic multi-table delta commit) × G, with head cache,
+    compaction, and incremental bloom/exact-index maintenance all on.
+
+    This is where per-generation FIXED costs live (planning, the commit
+    job, python-worker round-trips) that the single-pass headline
+    amortizes away: generations/sec is the fixed-overhead metric,
+    urls/sec the throughput one. Robots rules block a slice of hosts so
+    the gated/blocked path and the relational head-refill are actually
+    exercised; trap_gate is on so discovery pays the admission filter.
+    State lives in a throwaway SnapshotStore dir; the timed region is
+    everything including bootstrap and commits (I/O is part of the
+    workload), excluding only the synthetic-corpus persist."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from post_processor_spark import fixtures, frontier
+    from post_processor_spark.state import SnapshotStore
+
+    n_hosts = max(100, n_docs // 50)
+    docs = fixtures.synthetic_documents(
+        spark, n_docs, n_hosts=n_hosts, mega_host_share=0.2, seed=77
+    ).persist()
+    docs.count()  # corpus build is not part of the crawl
+    seeds = docs.select(
+        "url", F.lit(1).alias("priority"), F.col("seq")
+    ).limit(max(1000, n_docs // 10))
+    # block every 16th host outright: robots stays on the hot path and
+    # blocks real rows without gutting the schedulable volume
+    robots = spark.range(0, n_hosts, 16).select(
+        F.concat(F.lit("host"), F.col("id"), F.lit(".example.com")).alias("host"),
+        F.array(F.lit("/")).alias("disallow"),
+    )
+    d = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        store = SnapshotStore(d)
+        t0 = time.time()
+        stats = frontier.run_generations(
+            spark, store, docs, seeds, n_generations=n_generations,
+            budget_per_host=8, compact_every=4, robots=robots,
+            trap_gate=True, exact_join="prebuilt",
+        )
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        docs.unpersist()
+    scheduled = sum(s.get("scheduled", 0) for s in stats)
+    blocked = sum(s.get("blocked", 0) or 0 for s in stats)
+    return {
+        "crawl_e2e_sec": round(dt, 3),
+        "crawl_generations": n_generations,
+        "crawl_generations_per_sec": round(n_generations / dt, 4),
+        "crawl_urls_scheduled_per_sec": round(scheduled / dt, 1),
+        "crawl_docs": n_docs,
+        "crawl_scheduled": scheduled,
+        "crawl_blocked": blocked,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -288,6 +357,13 @@ def main() -> None:
         FRONTIER_N_URLS and n_sched / max(rate, 1e-9), 3
     )
 
+    # end-to-end multi-generation crawl (fixed-cost metric): min wall of
+    # 2 reps — same degraded-window reasoning as the per-query sweeps
+    crawl = crawl_e2e(spark)
+    second = crawl_e2e(spark)
+    if second["crawl_e2e_sec"] < crawl["crawl_e2e_sec"]:
+        crawl = second
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -301,6 +377,7 @@ def main() -> None:
                 "frontier_urls": FRONTIER_N_URLS,
                 "frontier_scheduled": n_sched,
                 "cpus": cpus,
+                **crawl,
             }
         )
     )
