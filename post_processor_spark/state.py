@@ -206,8 +206,21 @@ class SnapshotStore:
         atomically. A crash mid-way leaves the previous manifest intact —
         no table can be observed at generation g while a sibling is still
         at g-1 (the cross-table consistency Iceberg transactions give;
-        run_generation commits frontier+seen+metrics this way)."""
+        run_generation commits frontier+seen+metrics this way).
+
+        The per-table writes launch CONCURRENTLY (one thread per table;
+        Spark schedules jobs from multiple threads into the same pool):
+        the commit's wall cost becomes ~max over the table writes
+        instead of their sum. For the generation loop — whose deltas are
+        small and whose commit is dominated by per-job scheduling
+        latency, not I/O — this is the difference between 5-6 serialized
+        job latencies per generation and one. Manifest bookkeeping stays
+        sequential on the driver; any write failure aborts before the
+        manifest commit, so the crash contract is unchanged."""
+        from concurrent.futures import ThreadPoolExecutor
+
         manifest = self._read_manifest()
+        jobs: list = []
         for table, df, generation, mode in writes:
             table_mode = "append" if mode == "compact" else mode
             t = manifest["tables"].setdefault(
@@ -231,19 +244,23 @@ class SnapshotStore:
                 # at plan time).
                 spec = self._bucketed_spec(t, table, df, bucket_specs)
                 self._ensure_bucketed_registered(df.sparkSession, spec)
-                (
-                    df.write.format("parquet")
-                    .bucketBy(spec["n"], *spec["cols"])
-                    .sortBy(*spec["cols"])
-                    .mode("append")
-                    .saveAsTable(spec["name"])
+                jobs.append(
+                    lambda df=df, spec=spec: (
+                        df.write.format("parquet")
+                        .bucketBy(spec["n"], *spec["cols"])
+                        .sortBy(*spec["cols"])
+                        .mode("append")
+                        .saveAsTable(spec["name"])
+                    )
                 )
                 t["current"] = generation
                 if generation not in t["history"]:
                     t["history"].append(generation)
                 continue
             path = self._new_dir(manifest, table, generation)
-            df.write.mode("overwrite").parquet(path)
+            jobs.append(
+                lambda df=df, path=path: df.write.mode("overwrite").parquet(path)
+            )
             g = str(generation)
             if mode == "snapshot":
                 t["dirs"][g] = [path]  # replaces the reference, not the old dir
@@ -259,6 +276,13 @@ class SnapshotStore:
             t["current"] = generation
             if generation not in t["history"]:
                 t["history"].append(generation)
+        if len(jobs) == 1:
+            jobs[0]()
+        elif jobs:
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                futures = [pool.submit(j) for j in jobs]
+                for f in futures:
+                    f.result()  # re-raise the first failure BEFORE commit
         self._commit_manifest(manifest)
 
     def read(
