@@ -210,8 +210,8 @@ def frontier_throughput(spark, n_urls: int, state: dict | None = None) -> tuple[
     return n_scheduled / dt, n_scheduled
 
 
-CRAWL_DOCS = int(os.environ.get("BENCH_CRAWL_DOCS", "50000"))
-CRAWL_GENERATIONS = int(os.environ.get("BENCH_CRAWL_GENERATIONS", "6"))
+CRAWL_DOCS = int(os.environ.get("BENCH_CRAWL_DOCS", "30000"))
+CRAWL_GENERATIONS = int(os.environ.get("BENCH_CRAWL_GENERATIONS", "5"))
 
 
 def crawl_e2e(spark, n_docs: int = CRAWL_DOCS,

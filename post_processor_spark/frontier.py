@@ -808,12 +808,18 @@ def run_generation(
         # from every downstream count.
         discovered = discovered.filter(~canon.is_crawl_trap(F.col("url")))
     # constants attached after the dedupe shuffle (see seeds_to_frontier)
+    disc_obs = Observation(f"disc_{generation}")
     discovered = (
         _dedupe_candidates_slim(canonicalize_candidates(discovered).select(*_DEDUP_COLS))
         .withColumn("status", F.lit("pending"))
         .withColumn("not_before", F.lit(None).cast("timestamp"))
         .withColumn("sched_gen", F.lit(None).cast("int"))
         .select(*FRONTIER_COLS)
+        # observed BELOW the persist: the CollectMetrics node is part of
+        # the cached plan, so it executes exactly once — in the
+        # materialize job that fills this cache — and cache-hit readers
+        # scan the InMemoryRelation without re-firing it
+        .observe(disc_obs, F.count(F.lit(1)).alias("n"))
         .persist()
     )
     new_base = filter_unseen(
@@ -822,9 +828,9 @@ def run_generation(
     )
     new_rows = new_base.select(*FRONTIER_COLS)
     n_new = new_base.materialized_count
-    # counted AFTER the materialize job above fills the discovered cache —
-    # counting first would run the fetch-join + dedupe lineage twice
-    n_discovered = discovered.count()
+    # the materialize job above filled the discovered cache and fired
+    # disc_obs — the old follow-up discovered.count() job is free now
+    n_discovered = int(_observed(disc_obs, {"n": 0})["n"])
 
     # scheduled rows are fetched within the generation → status done
     finished = scheduled.withColumn("status", F.lit("done"))

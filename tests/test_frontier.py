@@ -827,6 +827,39 @@ def test_generation_metrics_rollup_contract(spark):
     docs.unpersist()
 
 
+def test_generation_job_count_constant_in_g(spark):
+    """Steady-state generations must launch the SAME number of Spark
+    jobs regardless of how many generations preceded them — the delta-
+    log + head-cache + incremental-index design's 'no O(G) driver work'
+    claim, pinned structurally (job counts, not wall time: this box's
+    throughput swings too much to time-gate). Job counts may SHRINK as
+    the crawl dries up (AQE eliminates stages over empty inputs), so the
+    pin is monotone: a later generation must never need MORE jobs than
+    an earlier one at the same loop position — an O(G) term in the loop
+    (per-delta jobs, per-generation collects) would grow it."""
+    def job_count():
+        return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+    docs = fixtures.synthetic_documents(spark, 800, n_hosts=40, seed=13).persist()
+    seeds = docs.select("url", F.lit(1).alias("priority"), F.col("seq")).limit(80)
+    with tempfile.TemporaryDirectory() as d:
+        store = SnapshotStore(d)
+        frontier.run_generations(
+            spark, store, docs, seeds, n_generations=4, budget_per_host=4,
+            compact_every=4, use_bloom=True, exact_join="prebuilt",
+        )
+        counts = []
+        for g in (5, 6):
+            j0 = job_count()
+            frontier.run_generation(
+                spark, store, docs, g, budget_per_host=4, compact_every=4,
+                use_bloom=True, exact_join="prebuilt",
+            )
+            counts.append(job_count() - j0)
+        assert counts[1] <= counts[0], counts
+    docs.unpersist()
+
+
 def test_zero_scheduled_generation_still_writes_summary_metrics(spark):
     """A generation that schedules NOTHING (robots blocks every pending
     row) must still write its partition_id=-1 summary metrics row — a

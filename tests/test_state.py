@@ -110,6 +110,32 @@ def test_write_many_all_or_nothing(spark):
         assert sorted(r["v"] for r in s.read(spark, "a").collect()) == [1]
 
 
+def test_write_many_concurrent_failure_leaves_manifest_intact(spark):
+    """The table writes launch concurrently (one thread per table); a
+    write that fails at EXECUTION time — not validation time — must
+    abort the transaction before the single manifest commit, even while
+    sibling writes succeed on disk (their dirs stay unreferenced)."""
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        s = SnapshotStore(d)
+        s.write("a", _df(spark, [1]), 0)
+        boom = _df(spark, [1]).select(
+            F.assert_true(F.col("v") > 99).alias("v")  # fails per-row at runtime
+        )
+        with pytest.raises(Exception):
+            s.write_many(
+                [
+                    ("a", _df(spark, [2]), 1, "snapshot"),
+                    ("c", boom, 1, "snapshot"),
+                ]
+            )
+        assert s.current_generation("a") == 0
+        assert sorted(r["v"] for r in s.read(spark, "a").collect()) == [1]
+        with pytest.raises(FileNotFoundError):
+            s.read(spark, "c")
+
+
 def test_write_many_commits_together(spark):
     with tempfile.TemporaryDirectory() as d:
         s = SnapshotStore(d)
