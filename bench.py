@@ -358,11 +358,17 @@ def main() -> None:
     )
 
     # end-to-end multi-generation crawl (fixed-cost metric): min wall of
-    # 2 reps — same degraded-window reasoning as the per-query sweeps
+    # 2 reps, but the confirmation rep only runs when the first looked
+    # clean-ish — in a degraded host window both reps land slow and the
+    # second only burns the remaining bench budget (same cutoff
+    # reasoning as the frontier reps; ~1 ms/doc/generation is ~3x the
+    # clean-window cost at the default size)
     crawl = crawl_e2e(spark)
-    second = crawl_e2e(spark)
-    if second["crawl_e2e_sec"] < crawl["crawl_e2e_sec"]:
-        crawl = second
+    crawl_cutoff = 1e-3 * CRAWL_DOCS * CRAWL_GENERATIONS
+    if crawl["crawl_e2e_sec"] < crawl_cutoff:
+        second = crawl_e2e(spark)
+        if second["crawl_e2e_sec"] < crawl["crawl_e2e_sec"]:
+            crawl = second
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
